@@ -1,0 +1,41 @@
+"""Test configuration: force CPU backend with 8 virtual devices so
+vmap/shard_map multi-chip paths are exercised without TPU hardware
+(mirrors the build plan in SURVEY.md §4)."""
+
+import os
+
+# Must be set before jax is imported anywhere. Force-set (not setdefault):
+# the environment may pre-select a TPU platform via sitecustomize.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# Geometry math in tests assumes f32-accurate matmuls.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import pathlib
+
+import pytest
+
+REFERENCE_DIR = pathlib.Path("/root/reference")
+CUBE_GLB = REFERENCE_DIR / "tests" / "cube.glb"
+BUNNY_GLTF = REFERENCE_DIR / "tests" / "stanford_bunny" / "scene.gltf"
+
+
+@pytest.fixture(scope="session")
+def cube_glb():
+    if not CUBE_GLB.exists():
+        pytest.skip("reference cube.glb fixture not available")
+    return str(CUBE_GLB)
+
+
+@pytest.fixture(scope="session")
+def bunny_gltf():
+    if not BUNNY_GLTF.exists():
+        pytest.skip("reference bunny fixture not available")
+    return str(BUNNY_GLTF)

@@ -1,0 +1,152 @@
+import numpy as np
+import pytest
+
+from stillleben_tpu.assets.consolidate import consolidate
+from stillleben_tpu.assets.convex import convex_hull, decompose
+from stillleben_tpu.assets.gltf import load_gltf
+from stillleben_tpu.assets.mesh import Mesh
+from stillleben_tpu.assets.primitive import load_primitive
+
+
+def test_cube_glb_loads(cube_glb):
+    c = consolidate(load_gltf(cube_glb), "cube")
+    assert c.num_vertices == 24
+    assert c.num_faces == 12
+    np.testing.assert_allclose(c.positions.min(0), [-1, -1, -1])
+    np.testing.assert_allclose(c.positions.max(0), [1, 1, 1])
+    # 1-based global vertex indices (reference consolidate.cpp:333-335)
+    assert c.vertex_indices[0] == 1
+    assert c.vertex_indices[-1] == 24
+    # normals unit length
+    np.testing.assert_allclose(np.linalg.norm(c.normals, axis=1), 1.0, atol=1e-5)
+
+
+def test_bunny_loads(bunny_gltf):
+    c = consolidate(load_gltf(bunny_gltf), "bunny")
+    assert c.num_vertices == 41210
+    assert c.num_faces == 69451
+    assert len(c.images) == 1  # base color texture
+    np.testing.assert_allclose(np.linalg.norm(c.normals, axis=1), 1.0, atol=1e-3)
+    # tangents orthogonal to normals
+    dots = np.abs(np.sum(c.normals * c.tangents[:, :3], axis=1))
+    assert np.percentile(dots, 99) < 0.1
+
+
+def test_primitive_cube():
+    c = consolidate(load_primitive("primitive://cube"), "prim")
+    assert c.num_vertices == 24
+    np.testing.assert_allclose(c.positions.min(0), [-1, -1, -1])
+    # winding: all face normals point outward
+    v0 = c.positions[c.faces[:, 0]]
+    v1 = c.positions[c.faces[:, 1]]
+    v2 = c.positions[c.faces[:, 2]]
+    fn = np.cross(v1 - v0, v2 - v0)
+    centers = (v0 + v1 + v2) / 3
+    assert np.all(np.sum(fn * centers, axis=1) > 0)
+
+
+def test_convex_hull_cube_mass_properties():
+    pts = np.array(
+        [[x, y, z] for x in (-1, 1) for y in (-1, 1) for z in (-1, 1)], np.float64
+    )
+    h = convex_hull(pts)
+    assert abs(h.volume - 8.0) < 1e-6
+    np.testing.assert_allclose(h.center_of_mass, 0.0, atol=1e-6)
+    # solid box inertia (unit density, m = 8): I = m/12 * (a^2+b^2) = 5.3333
+    np.testing.assert_allclose(np.diag(h.inertia), 8.0 / 12 * 8.0, atol=1e-4)
+    assert len(h.vertices) == 8
+    assert len(h.planes) == 6
+    # all vertices inside/on all planes
+    d = h.vertices @ h.planes[:, :3].T + h.planes[:, 3]
+    assert d.max() < 1e-5
+
+
+def test_decompose_cube_single_hull(cube_glb):
+    c = consolidate(load_gltf(cube_glb), "cube")
+    ph = decompose(c.positions, c.faces)
+    # convex object -> single-hull shortcut (reference src/mesh.cpp:424-429)
+    assert len(ph.hulls) == 1
+    assert abs(ph.hulls[0].volume - 8.0) < 0.01
+
+
+def test_mesh_api(cube_glb):
+    mesh = Mesh(cube_glb, physics=True)
+    bbox = mesh.bbox
+    np.testing.assert_allclose(bbox.min, [-1, -1, -1], atol=1e-6)
+    np.testing.assert_allclose(bbox.size, [2, 2, 2], atol=1e-6)
+    assert abs(bbox.diagonal - np.sqrt(12)) < 1e-5
+
+    mesh.scale_to_bbox_diagonal(0.1)
+    assert abs(mesh.bbox.diagonal - 0.1) < 1e-6
+    # order-of-magnitude mode rounds to power of 10 (src/mesh.cpp:1026-1043)
+    mesh.scale_to_bbox_diagonal(0.1, mode="order_of_magnitude")
+    assert abs(mesh.pretransform_scale - 0.01) < 1e-9
+
+    mesh.center_bbox()
+    np.testing.assert_allclose(mesh.bbox.center, 0.0, atol=1e-6)
+
+    # pretransform round trip via serialize
+    d = mesh.serialize()
+    mesh2 = Mesh.deserialize(d)
+    np.testing.assert_allclose(mesh2.pretransform, mesh.pretransform, atol=1e-6)
+
+    # class index validation
+    mesh.class_index = 7
+    assert mesh.class_index == 7
+    with pytest.raises(ValueError):
+        mesh.class_index = 1 << 17
+
+
+def test_mesh_nonuniform_scale_rejected(cube_glb):
+    mesh = Mesh(cube_glb, physics=False)
+    bad = np.diag([1.0, 2.0, 1.0, 1.0]).astype(np.float32)
+    with pytest.raises(ValueError):
+        mesh.pretransform = bad
+
+
+def test_vertex_editing_one_based(cube_glb):
+    mesh = Mesh(cube_glb, physics=False)
+    orig = mesh.points()
+    mesh.update_positions(np.array([1]), np.array([[5.0, 5.0, 5.0]]))
+    assert np.allclose(mesh.points()[0], [5, 5, 5])  # index 1 -> row 0
+    with pytest.raises(IndexError):
+        mesh.update_positions(np.array([0]), np.array([[0.0, 0.0, 0.0]]))
+    mesh.set_new_positions(orig)
+    np.testing.assert_allclose(mesh.points(), orig)
+
+
+def test_physics_cache_roundtrip(cube_glb, tmp_path, monkeypatch):
+    import shutil
+
+    # sidecar writes are opt-in (asset dirs may be read-only datasets)
+    monkeypatch.setenv("STILLLEBEN_TPU_SIDECAR_CACHE", "1")
+    local = tmp_path / "cube.glb"
+    shutil.copy(cube_glb, local)
+    m1 = Mesh(str(local), physics=True)
+    assert (tmp_path / "cube.glb.sl_mesh.npz").exists()
+    # second load hits the cache
+    m2 = Mesh(str(local), physics=True)
+    np.testing.assert_allclose(
+        m1.physics_mesh_data["volumes"], m2.physics_mesh_data["volumes"]
+    )
+
+
+def test_load_threaded(cube_glb, bunny_gltf):
+    meshes = Mesh.load_threaded([cube_glb, "primitive://cube"], physics=False)
+    assert len(meshes) == 2
+    assert meshes[0].consolidated.num_vertices == 24
+
+
+def test_obj_roundtrip(tmp_path):
+    obj = tmp_path / "tri.obj"
+    obj.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 0 1\nvt 1 1\n"
+        "f 1/1 2/2 4/4 3/3\n"
+    )
+    from stillleben_tpu.assets.objfile import load_obj
+
+    doc = load_obj(str(obj))
+    c = consolidate(doc, "tri")
+    assert c.num_faces == 2  # fan-triangulated quad
+    assert c.num_vertices == 4
