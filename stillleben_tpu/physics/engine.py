@@ -1,0 +1,228 @@
+"""The physics step: integrate -> collide -> solve -> integrate pose.
+
+Equivalent of PxScene::simulate + fetchResults for the reference's usage
+(src/scene.cpp:726-740). Fully jittable, static shapes; batch scenes with
+``jax.vmap(step, in_axes=(None, None, 0, ...))`` when geometry is shared or
+with a batched atlas otherwise.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from .contacts import (
+    Contacts,
+    Floor,
+    concat_contacts,
+    floor_contacts,
+    make_floor,
+    pair_contacts,
+)
+from .solver import solve_contacts
+from .types import BodyParams, BodyState, ContactReport, HullAtlas, SolverConfig
+
+
+def integrate_velocities(
+    params: BodyParams, state: BodyState, dt, cfg: SolverConfig
+) -> BodyState:
+    dyn = (params.inv_mass > 0) & params.valid & ~params.kinematic
+    lin = jnp.where(dyn[:, None], state.lin_vel + cfg.gravity_vec * dt, state.lin_vel)
+    # linear velocity limit (reference Object::setLinearVelocityLimit,
+    # src/object.cpp:522-545)
+    speed = jnp.linalg.norm(lin, axis=-1, keepdims=True)
+    limit = params.linear_velocity_limit[:, None]
+    lin = jnp.where(speed > limit, lin * (limit / jnp.maximum(speed, 1e-9)), lin)
+    return state._replace(lin_vel=lin)
+
+
+def integrate_poses(params: BodyParams, state: BodyState, dt) -> BodyState:
+    """Semi-implicit Euler about the COM: COM translates with lin_vel, the
+    body rotates about the COM with ang_vel; mesh-frame origin follows."""
+    dyn = ((params.inv_mass > 0) & params.valid & ~params.kinematic)[:, None]
+    R = m.quat_to_matrix(state.quat)
+    com_world = state.pos + jnp.einsum("bij,bj->bi", R, params.com)
+
+    new_com = com_world + jnp.where(dyn, state.lin_vel * dt, 0.0)
+
+    w = state.ang_vel
+    dq = 0.5 * dt * m.quat_multiply(
+        jnp.concatenate([jnp.zeros_like(w[..., :1]), w], axis=-1), state.quat
+    )
+    new_quat = m.quat_normalize(state.quat + jnp.where(dyn, dq, 0.0))
+
+    new_R = m.quat_to_matrix(new_quat)
+    new_pos = new_com - jnp.einsum("bij,bj->bi", new_R, params.com)
+    new_pos = jnp.where(dyn, new_pos, state.pos)
+    new_quat = jnp.where(dyn, new_quat, state.quat)
+    return BodyState(pos=new_pos, quat=new_quat, lin_vel=state.lin_vel, ang_vel=state.ang_vel)
+
+
+def gather_contacts(
+    atlas: HullAtlas,
+    params: BodyParams,
+    state: BodyState,
+    floor: Floor,
+    pairs: jax.Array,
+) -> Contacts:
+    fc = floor_contacts(atlas, state, params, floor)
+    pc = pair_contacts(atlas, state, params, pairs)
+    return concat_contacts(fc, pc)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def step(
+    atlas: HullAtlas,
+    params: BodyParams,
+    state: BodyState,
+    floor: Floor,
+    pairs: jax.Array,
+    dt: jax.Array,
+    cfg: SolverConfig,
+) -> tuple[BodyState, ContactReport]:
+    """One physics substep (the reference's PxScene::simulate(dt) unit)."""
+    return step_fn(atlas, params, state, floor, pairs, dt, cfg)
+
+
+def step_fn(
+    atlas: HullAtlas,
+    params: BodyParams,
+    state: BodyState,
+    floor: Floor,
+    pairs: jax.Array,
+    dt,
+    cfg: SolverConfig,
+):
+    """Non-jitted step for embedding in larger jitted programs (scan bodies)."""
+    from .solver import position_correction
+
+    state = integrate_velocities(params, state, dt, cfg)
+    contacts = gather_contacts(atlas, params, state, floor, pairs)
+    state, report = solve_contacts(contacts, params, state, dt, cfg)
+    state = integrate_poses(params, state, dt)
+    # position projection with depth advanced to post-integration estimate
+    kin_n = contacts.normal
+    v_b = _point_velocity(state, params, contacts, which="b")
+    v_a = _point_velocity(state, params, contacts, which="a")
+    vn = jnp.einsum("ci,ci->c", v_b - v_a, kin_n)
+    contacts_post = contacts._replace(depth=contacts.depth - vn * dt)
+    state = position_correction(contacts_post, params, state, cfg)
+    nb = params.inv_mass.shape[0]
+    body_radius = (
+        jnp.zeros((nb,), jnp.float32)
+        .at[atlas.hull_body]
+        .max(
+            jnp.where(
+                atlas.hull_valid,
+                jnp.linalg.norm(atlas.center, axis=-1) + atlas.radius,
+                0.0,
+            )
+        )
+    )
+    state = _stabilize_resting(params, state, report, body_radius)
+    return state, report
+
+
+def _point_velocity(state: BodyState, params: BodyParams, contacts: Contacts, which: str):
+    idx = contacts.body_b if which == "b" else contacts.body_a
+    safe = jnp.maximum(idx, 0)
+    com = state.pos + jnp.einsum(
+        "bij,bj->bi", m.quat_to_matrix(state.quat), params.com
+    )
+    r = contacts.point - com[safe]
+    v = state.lin_vel[safe] + jnp.cross(state.ang_vel[safe], r)
+    return jnp.where((idx >= 0)[:, None], v, 0.0)
+
+
+def _stabilize_resting(
+    params: BodyParams,
+    state: BodyState,
+    report: ContactReport,
+    body_radius: jax.Array | None = None,
+) -> BodyState:
+    """Pseudo-sleeping: bleed off residual jitter of nearly-resting bodies in
+    contact (the role of PhysX sleeping + eENABLE_STABILIZATION,
+    src/scene.cpp:162). Thresholds on surface speed (|v| + |w| * radius)."""
+    speed = jnp.linalg.norm(state.lin_vel, axis=-1)
+    spin = jnp.linalg.norm(state.ang_vel, axis=-1)
+    r = body_radius if body_radius is not None else jnp.full_like(speed, 0.1)
+    surface_speed = speed + spin * r
+    in_contact = report.min_separation < 5e-3
+    resting = in_contact & (surface_speed < 0.12)
+    decay = jnp.where(resting, 0.6, 1.0)[:, None]
+    return state._replace(lin_vel=state.lin_vel * decay, ang_vel=state.ang_vel * decay)
+
+
+def run_substeps(
+    atlas: HullAtlas,
+    params: BodyParams,
+    state: BodyState,
+    floor: Floor,
+    pairs: jax.Array,
+    dt,
+    n_substeps: int,
+    cfg: SolverConfig,
+) -> tuple[BodyState, ContactReport]:
+    """`n_substeps` physics substeps via lax.scan; reports the min separation
+    seen across the substeps (reference: separation reset before each frame's
+    substep group, src/scene.cpp:714-740)."""
+    sub_dt = dt / n_substeps
+
+    def body(carry, _):
+        st, min_sep = carry
+        st, rep = step_fn(atlas, params, st, floor, pairs, sub_dt, cfg)
+        return (st, jnp.minimum(min_sep, rep.min_separation)), None
+
+    nb = params.inv_mass.shape[0]
+    init = (state, jnp.full((nb,), jnp.inf, jnp.float32))
+    (state, min_sep), _ = jax.lax.scan(body, init, None, length=n_substeps)
+    return state, ContactReport(min_separation=min_sep)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "cfg"))
+def simulate_steps(
+    atlas: HullAtlas,
+    params: BodyParams,
+    state: BodyState,
+    floor: Floor,
+    pairs: jax.Array,
+    dt,
+    n_steps: int,
+    cfg: SolverConfig,
+) -> tuple[BodyState, ContactReport]:
+    """n_steps equal substeps in one XLA program (lax.scan)."""
+
+    def body(st, _):
+        st, rep = step_fn(atlas, params, st, floor, pairs, dt, cfg)
+        return st, rep.min_separation
+
+    state, seps = jax.lax.scan(body, state, None, length=n_steps)
+    return state, ContactReport(min_separation=seps.min(axis=0))
+
+
+def check_overlaps(
+    atlas: HullAtlas,
+    params: BodyParams,
+    state: BodyState,
+    pairs: jax.Array,
+    floor: Floor | None = None,
+    margin: float = 0.0,
+) -> jax.Array:
+    """Per-body boolean: is the body overlapping anything? (the role of
+    PxScene::overlap in Scene::isObjectColliding, src/scene.cpp:355-385,
+    and Scene::checkCollisions, src/scene.cpp:914-925)."""
+    contacts = pair_contacts(atlas, state, params, pairs)
+    hit = contacts.valid & (contacts.depth > margin)
+    nb = params.inv_mass.shape[0]
+    out = jnp.zeros((nb,), bool)
+    out = out.at[jnp.maximum(contacts.body_a, 0)].max(hit & (contacts.body_a >= 0))
+    out = out.at[jnp.maximum(contacts.body_b, 0)].max(hit & (contacts.body_b >= 0))
+    if floor is not None:
+        fc = floor_contacts(atlas, state, params, floor)
+        fhit = fc.valid & (fc.depth > margin)
+        out = out.at[jnp.maximum(fc.body_b, 0)].max(fhit & (fc.body_b >= 0))
+    return out & params.valid

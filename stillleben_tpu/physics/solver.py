@@ -1,0 +1,307 @@
+"""Velocity-level sequential-impulse contact solver (mass-splitting Jacobi).
+
+Replaces the PhysX solver for the reference's workload (drop-and-settle
+tabletop scenes, src/scene.cpp:612-759: 4 substeps of dt=0.01 per 25FPS
+frame, solver iteration counts (4,4) per body, src/object.cpp:142-213).
+
+TPU-first design: all contacts are solved simultaneously each iteration
+(Jacobi) with per-body impulse averaging ("mass splitting") for stability —
+a Gauss-Seidel sweep would serialize on the VPU. Baumgarte stabilization +
+penetration slop gives PhysX-like resting behavior at dt=0.01; restitution
+uses pre-solve normal velocities (Newton's impact law with a threshold).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from .contacts import Contacts
+from .types import BodyParams, BodyState, ContactReport, SolverConfig
+
+
+class _Kin(NamedTuple):
+    r_a: jax.Array  # (NC,3) contact offset from COM of A (0 for environment)
+    r_b: jax.Array
+    inv_m_a: jax.Array  # (NC,)
+    inv_m_b: jax.Array
+    inv_I_a: jax.Array  # (NC,3,3) world-frame inverse inertia
+    inv_I_b: jax.Array
+    scale_a: jax.Array  # (NC,) Jacobi mass-splitting factor
+    scale_b: jax.Array
+
+
+def _world_inv_inertia(params: BodyParams, state: BodyState) -> jax.Array:
+    """(NB,3,3) I^-1 in world frame = R I_body^-1 R^T."""
+    R = m.quat_to_matrix(state.quat)
+    return jnp.einsum("bij,bjk,blk->bil", R, params.inv_inertia_body, R)
+
+
+def _com_world(params: BodyParams, state: BodyState) -> jax.Array:
+    R = m.quat_to_matrix(state.quat)
+    return state.pos + jnp.einsum("bij,bj->bi", R, params.com)
+
+
+def _gather_body(arr: jax.Array, idx: jax.Array, fill: float = 0.0) -> jax.Array:
+    """Gather per-body values for contact endpoints; idx=-1 (environment)
+    yields `fill`."""
+    safe = jnp.maximum(idx, 0)
+    out = arr[safe]
+    mask = (idx >= 0).reshape((-1,) + (1,) * (out.ndim - 1))
+    return jnp.where(mask, out, fill)
+
+
+def _build_kinematics(
+    contacts: Contacts, params: BodyParams, state: BodyState
+) -> _Kin:
+    com = _com_world(params, state)
+    inv_I = _world_inv_inertia(params, state)
+    zero_m = jnp.zeros_like(params.inv_mass)
+
+    inv_m_a = _gather_body(params.inv_mass, contacts.body_a)
+    inv_m_b = _gather_body(params.inv_mass, contacts.body_b)
+    inv_I_a = _gather_body(inv_I, contacts.body_a)
+    inv_I_b = _gather_body(inv_I, contacts.body_b)
+    r_a = contacts.point - _gather_body(com, contacts.body_a)
+    r_b = contacts.point - _gather_body(com, contacts.body_b)
+    r_a = jnp.where((contacts.body_a >= 0)[:, None], r_a, 0.0)
+    r_b = jnp.where((contacts.body_b >= 0)[:, None], r_b, 0.0)
+
+    # mass splitting: divide each body's impulse response by its contact count
+    nb = params.inv_mass.shape[0]
+    ones = jnp.where(contacts.valid, 1.0, 0.0)
+    count = jnp.zeros((nb,), jnp.float32)
+    count = count.at[jnp.maximum(contacts.body_a, 0)].add(
+        jnp.where(contacts.body_a >= 0, ones, 0.0)
+    )
+    count = count.at[jnp.maximum(contacts.body_b, 0)].add(
+        jnp.where(contacts.body_b >= 0, ones, 0.0)
+    )
+    count = jnp.maximum(count, 1.0)
+    scale_a = _gather_body(1.0 / count, contacts.body_a, fill=1.0)
+    scale_b = _gather_body(1.0 / count, contacts.body_b, fill=1.0)
+    return _Kin(r_a, r_b, inv_m_a, inv_m_b, inv_I_a, inv_I_b, scale_a, scale_b)
+
+
+def _rel_velocity(
+    contacts: Contacts, kin: _Kin, lin: jax.Array, ang: jax.Array
+) -> jax.Array:
+    """(NC,3) velocity of B relative to A at the contact point."""
+    v_a = _gather_body(lin, contacts.body_a) + jnp.cross(
+        _gather_body(ang, contacts.body_a), kin.r_a
+    )
+    v_b = _gather_body(lin, contacts.body_b) + jnp.cross(
+        _gather_body(ang, contacts.body_b), kin.r_b
+    )
+    return v_b - v_a
+
+
+def _apply_impulse(
+    contacts: Contacts,
+    kin: _Kin,
+    lin: jax.Array,
+    ang: jax.Array,
+    impulse: jax.Array,  # (NC,3) applied +P to B, -P to A
+):
+    nb = lin.shape[0]
+    P = jnp.where(contacts.valid[:, None], impulse, 0.0)
+
+    dv_b = kin.inv_m_b[:, None] * P * kin.scale_b[:, None]
+    dw_b = jnp.einsum("cij,cj->ci", kin.inv_I_b, jnp.cross(kin.r_b, P)) * kin.scale_b[:, None]
+    dv_a = kin.inv_m_a[:, None] * P * kin.scale_a[:, None]
+    dw_a = jnp.einsum("cij,cj->ci", kin.inv_I_a, jnp.cross(kin.r_a, P)) * kin.scale_a[:, None]
+
+    idx_b = jnp.maximum(contacts.body_b, 0)
+    idx_a = jnp.maximum(contacts.body_a, 0)
+    mb = (contacts.body_b >= 0)[:, None]
+    ma = (contacts.body_a >= 0)[:, None]
+    lin = lin.at[idx_b].add(jnp.where(mb, dv_b, 0.0))
+    ang = ang.at[idx_b].add(jnp.where(mb, dw_b, 0.0))
+    lin = lin.at[idx_a].add(jnp.where(ma, -dv_a, 0.0))
+    ang = ang.at[idx_a].add(jnp.where(ma, -dw_a, 0.0))
+    return lin, ang
+
+
+def _effective_mass(contacts: Contacts, kin: _Kin, dirs: jax.Array) -> jax.Array:
+    """(NC,) effective mass along direction `dirs` (NC,3), with the Jacobi
+    splitting factors folded in so impulse magnitudes stay consistent."""
+    ra_x_d = jnp.cross(kin.r_a, dirs)
+    rb_x_d = jnp.cross(kin.r_b, dirs)
+    k = (
+        kin.inv_m_a * kin.scale_a
+        + kin.inv_m_b * kin.scale_b
+        + jnp.einsum("ci,cij,cj->c", ra_x_d, kin.inv_I_a, ra_x_d) * kin.scale_a
+        + jnp.einsum("ci,cij,cj->c", rb_x_d, kin.inv_I_b, rb_x_d) * kin.scale_b
+    )
+    return 1.0 / jnp.maximum(k, 1e-9)
+
+
+def _tangent_basis(n: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Two unit tangents orthogonal to n, branch-free."""
+    ref = jnp.where(
+        (jnp.abs(n[..., 2:3]) < 0.9),
+        jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), n.shape),
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), n.shape),
+    )
+    t1 = jnp.cross(ref, n)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
+def solve_contacts(
+    contacts: Contacts,
+    params: BodyParams,
+    state: BodyState,
+    dt: jax.Array,
+    cfg: SolverConfig,
+) -> tuple[BodyState, ContactReport]:
+    """Run velocity iterations; returns new velocities + contact report."""
+    kin = _build_kinematics(contacts, params, state)
+    n = contacts.normal
+    t1, t2 = _tangent_basis(n)
+
+    m_n = _effective_mass(contacts, kin, n)
+    m_t1 = _effective_mass(contacts, kin, t1)
+    m_t2 = _effective_mass(contacts, kin, t2)
+
+    # restitution target from pre-solve velocity (Newton impact law)
+    v0 = _rel_velocity(contacts, kin, state.lin_vel, state.ang_vel)
+    vn0 = jnp.einsum("ci,ci->c", v0, n)
+    bounce = jnp.where(
+        vn0 < -cfg.restitution_threshold, -contacts.restitution * vn0, 0.0
+    )
+
+    # Speculative contacts (the role of PhysX's eENABLE_SPECULATIVE_CCD,
+    # reference src/object.cpp:142-213): a separated contact (depth < 0) only
+    # limits the approach speed to gap/dt (no tunneling, free fall otherwise);
+    # an overlapping contact gets Baumgarte push-out + restitution.
+    pen = jnp.maximum(contacts.depth - cfg.slop + cfg.rest_offset, 0.0)
+    bias = (cfg.baumgarte / dt) * pen
+    gap = jnp.minimum(contacts.depth + cfg.rest_offset, 0.0)  # <= 0 when separated
+    # separated: approach limited to gap/dt. Restitution applies only when the
+    # contact actually impacts within this substep (vn0 <= gap/dt), otherwise
+    # a speculative contact would brake/bounce bodies in mid-air.
+    impacting = vn0 <= gap / dt
+    separated_target = jnp.where(
+        impacting & (bounce > 0.0), jnp.maximum(gap / dt, bounce), gap / dt
+    )
+    target_vn = jnp.where(gap < 0.0, separated_target, jnp.maximum(bounce, bias))
+
+    def body_fn(_, carry):
+        lin, ang, acc_n, acc_t1, acc_t2 = carry
+        v = _rel_velocity(contacts, kin, lin, ang)
+        vn = jnp.einsum("ci,ci->c", v, n)
+
+        d_n = (target_vn - vn) * m_n
+        new_acc_n = jnp.maximum(acc_n + d_n, 0.0)
+        d_n = new_acc_n - acc_n
+
+        lin, ang = _apply_impulse(contacts, kin, lin, ang, d_n[:, None] * n)
+
+        # friction (uses updated velocities)
+        v = _rel_velocity(contacts, kin, lin, ang)
+        max_f = contacts.friction * new_acc_n
+        vt1 = jnp.einsum("ci,ci->c", v, t1)
+        d_t1 = -vt1 * m_t1
+        new_acc_t1 = jnp.clip(acc_t1 + d_t1, -max_f, max_f)
+        d_t1 = new_acc_t1 - acc_t1
+        lin, ang = _apply_impulse(contacts, kin, lin, ang, d_t1[:, None] * t1)
+
+        v = _rel_velocity(contacts, kin, lin, ang)
+        vt2 = jnp.einsum("ci,ci->c", v, t2)
+        d_t2 = -vt2 * m_t2
+        new_acc_t2 = jnp.clip(acc_t2 + d_t2, -max_f, max_f)
+        d_t2 = new_acc_t2 - acc_t2
+        lin, ang = _apply_impulse(contacts, kin, lin, ang, d_t2[:, None] * t2)
+
+        return lin, ang, new_acc_n, new_acc_t1, new_acc_t2
+
+    zeros = jnp.zeros_like(m_n)
+    lin, ang, acc_n, _, _ = jax.lax.fori_loop(
+        0,
+        cfg.velocity_iterations,
+        body_fn,
+        (state.lin_vel, state.ang_vel, zeros, zeros, zeros),
+    )
+
+    # per-body min separation (reference records it for the redrop heuristic)
+    nb = params.inv_mass.shape[0]
+    sep = jnp.where(contacts.valid, -contacts.depth, jnp.inf)
+    min_sep = jnp.full((nb,), jnp.inf, jnp.float32)
+    min_sep = min_sep.at[jnp.maximum(contacts.body_b, 0)].min(
+        jnp.where(contacts.body_b >= 0, sep, jnp.inf)
+    )
+    min_sep = min_sep.at[jnp.maximum(contacts.body_a, 0)].min(
+        jnp.where(contacts.body_a >= 0, sep, jnp.inf)
+    )
+
+    new_state = BodyState(
+        pos=state.pos, quat=state.quat, lin_vel=lin, ang_vel=ang
+    )
+    return new_state, ContactReport(min_separation=min_sep)
+
+
+def position_correction(
+    contacts: Contacts,
+    params: BodyParams,
+    state: BodyState,
+    cfg: SolverConfig,
+) -> BodyState:
+    """Nonlinear Gauss-Seidel-style positional projection (Jacobi variant):
+    removes residual penetration left by the velocity solve without adding
+    kinetic energy (PhysX's position iterations, src/object.cpp solver
+    iteration counts (4,4))."""
+    kin = _build_kinematics(contacts, params, state)
+    n = contacts.normal
+    m_n = _effective_mass(contacts, kin, n)
+
+    def body_fn(_, carry):
+        pos, quat, corrected = carry
+        pen = jnp.maximum(contacts.depth - corrected - cfg.slop, 0.0)
+        lam = 0.8 * pen * m_n  # positional "impulse" magnitude
+        lam = jnp.where(contacts.valid, lam, 0.0)
+        P = lam[:, None] * n
+
+        dp_b = kin.inv_m_b[:, None] * P * kin.scale_b[:, None]
+        dth_b = (
+            jnp.einsum("cij,cj->ci", kin.inv_I_b, jnp.cross(kin.r_b, P))
+            * kin.scale_b[:, None]
+        )
+        dp_a = kin.inv_m_a[:, None] * P * kin.scale_a[:, None]
+        dth_a = (
+            jnp.einsum("cij,cj->ci", kin.inv_I_a, jnp.cross(kin.r_a, P))
+            * kin.scale_a[:, None]
+        )
+
+        idx_b = jnp.maximum(contacts.body_b, 0)
+        idx_a = jnp.maximum(contacts.body_a, 0)
+        mb = (contacts.body_b >= 0)[:, None]
+        ma = (contacts.body_a >= 0)[:, None]
+        dpos = jnp.zeros_like(pos)
+        dth = jnp.zeros_like(pos)
+        dpos = dpos.at[idx_b].add(jnp.where(mb, dp_b, 0.0))
+        dth = dth.at[idx_b].add(jnp.where(mb, dth_b, 0.0))
+        dpos = dpos.at[idx_a].add(jnp.where(ma, -dp_a, 0.0))
+        dth = dth.at[idx_a].add(jnp.where(ma, -dth_a, 0.0))
+
+        pos = pos + dpos
+        dq = 0.5 * m.quat_multiply(
+            jnp.concatenate([jnp.zeros_like(dth[..., :1]), dth], axis=-1), quat
+        )
+        quat = m.quat_normalize(quat + dq)
+
+        # track correction applied along each contact normal
+        corr_b = jnp.einsum("ci,ci->c", _gather_body(dpos, contacts.body_b), n)
+        corr_a = jnp.einsum("ci,ci->c", _gather_body(dpos, contacts.body_a), n)
+        corrected = corrected + (corr_b - corr_a)
+        return pos, quat, corrected
+
+    zeros = jnp.zeros_like(m_n)
+    pos, quat, _ = jax.lax.fori_loop(
+        0, cfg.position_iterations, body_fn, (state.pos, state.quat, zeros)
+    )
+    return state._replace(pos=pos, quat=quat)

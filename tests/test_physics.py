@@ -1,0 +1,187 @@
+"""Physics engine tests mirroring the reference acceptance criteria
+(tests/test_python.py:111-130: horizontal velocity conserved, gravity
+acceleration in -z) plus settle/stack/restitution behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stillleben_tpu.assets.convex import convex_hull
+from stillleben_tpu.physics import bodies as B
+from stillleben_tpu.physics import engine
+from stillleben_tpu.physics.contacts import hull_pairs_host, make_floor
+from stillleben_tpu.physics.types import (
+    BodyParams,
+    BodyState,
+    build_hull_atlas,
+    default_config,
+)
+
+
+def _cube_hull(half=1.0):
+    pts = np.array(
+        [[x, y, z] for x in (-half, half) for y in (-half, half) for z in (-half, half)],
+        np.float64,
+    )
+    return convex_hull(pts)
+
+
+def _make_world(n_bodies, half=1.0, density=1000.0, friction=0.3, restitution=0.1):
+    hull = _cube_hull(half)
+    hull_lists = [[{"verts": hull.vertices, "planes": hull.planes}] for _ in range(n_bodies)]
+    atlas = build_hull_atlas(hull_lists)
+    mass, com, inertia = B.aggregate_mass_properties([hull], density)
+    params = BodyParams(
+        inv_mass=jnp.full((n_bodies,), 1.0 / mass, jnp.float32),
+        inv_inertia_body=jnp.tile(
+            jnp.asarray(np.linalg.inv(inertia), jnp.float32), (n_bodies, 1, 1)
+        ),
+        com=jnp.tile(jnp.asarray(com), (n_bodies, 1)),
+        friction=jnp.full((n_bodies,), friction, jnp.float32),
+        restitution=jnp.full((n_bodies,), restitution, jnp.float32),
+        linear_velocity_limit=jnp.full((n_bodies,), 1e9, jnp.float32),
+        valid=jnp.ones((n_bodies,), bool),
+        kinematic=jnp.zeros((n_bodies,), bool),
+    )
+    pairs = jnp.asarray(hull_pairs_host(atlas))
+    return atlas, params, pairs
+
+
+def _state(positions, velocities=None):
+    n = len(positions)
+    return BodyState(
+        pos=jnp.asarray(positions, jnp.float32),
+        quat=jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (n, 1)),
+        lin_vel=jnp.asarray(velocities, jnp.float32)
+        if velocities is not None
+        else jnp.zeros((n, 3), jnp.float32),
+        ang_vel=jnp.zeros((n, 3), jnp.float32),
+    )
+
+
+def test_free_fall_and_horizontal_conservation():
+    """Reference test_physics (tests/test_python.py:111-130)."""
+    atlas, params, pairs = _make_world(1)
+    floor = make_floor(enabled=False)
+    cfg = default_config()
+    state = _state([[0.0, 0.0, 10.0]], [[1.0, 0.0, 0.0]])
+    dt = 0.002
+    n = 50
+    state, _ = engine.simulate_steps(atlas, params, state, floor, pairs, dt, n, cfg)
+    t = n * dt
+    v = np.asarray(state.lin_vel[0])
+    assert abs(v[0] - 1.0) < 1e-4  # horizontal conserved
+    assert abs(v[1]) < 1e-5
+    assert abs(v[2] - (-9.81 * t)) < 1e-3  # gravity acceleration
+    p = np.asarray(state.pos[0])
+    assert abs(p[0] - 1.0 * t) < 1e-3
+
+
+def test_cube_settles_on_floor():
+    atlas, params, pairs = _make_world(1, half=0.1)
+    floor = make_floor(height=0.0)
+    cfg = default_config()
+    state = _state([[0.0, 0.0, 0.3]])
+    # 4 seconds, the reference's tabletop budget
+    state, rep = engine.simulate_steps(atlas, params, state, floor, pairs, 0.01, 400, cfg)
+    p = np.asarray(state.pos[0])
+    v = np.asarray(state.lin_vel[0])
+    w = np.asarray(state.ang_vel[0])
+    # settled flat: center at half-extent above floor (rest_offset tolerance)
+    assert abs(p[2] - 0.1) < 0.01, f"z = {p[2]}"
+    assert np.linalg.norm(v) < 0.05
+    assert np.linalg.norm(w) < 0.2
+    # orientation stays axis-aligned (started flat, should not topple)
+    q = np.asarray(state.quat[0])
+    assert abs(abs(q[0]) - 1.0) < 0.01
+
+
+def test_two_cube_stack_stable():
+    atlas, params, pairs = _make_world(2, half=0.1)
+    floor = make_floor(height=0.0)
+    cfg = default_config()
+    state = _state([[0.0, 0.0, 0.1], [0.02, 0.0, 0.35]])
+    state, _ = engine.simulate_steps(atlas, params, state, floor, pairs, 0.01, 400, cfg)
+    p = np.asarray(state.pos)
+    assert abs(p[0, 2] - 0.1) < 0.02, f"bottom z = {p[0,2]}"
+    assert abs(p[1, 2] - 0.3) < 0.04, f"top z = {p[1,2]}"
+    # top cube still roughly above bottom cube
+    assert np.linalg.norm(p[1, :2] - p[0, :2]) < 0.1
+
+
+def test_restitution_bounce():
+    atlas, params, pairs = _make_world(1, half=0.05, restitution=0.8)
+    floor = make_floor(height=0.0, restitution=0.8)
+    cfg = default_config()
+    state = _state([[0.0, 0.0, 0.5]])
+    dt = 0.005
+
+    @jax.jit
+    def run(state):
+        def body(st, _):
+            st, _ = engine.step_fn(atlas, params, st, floor, pairs, dt, cfg)
+            return st, (st.pos[0, 2], st.lin_vel[0, 2])
+
+        _, (zs, vzs) = jax.lax.scan(body, state, None, length=600)
+        return zs, vzs
+
+    zs, vzs = map(np.asarray, run(state))
+    bounce_steps = np.where(vzs > 0.5)[0]
+    assert bounce_steps.size > 0, "never bounced"
+    apex = zs[bounce_steps[0] :].max()
+    # with e = 0.8 the rebound apex should be a significant fraction of 0.5
+    assert apex > 0.15, f"apex {apex}"
+
+
+def test_static_body_immovable():
+    atlas, params, pairs = _make_world(2, half=0.1)
+    params = params._replace(inv_mass=params.inv_mass.at[0].set(0.0))
+    floor = make_floor(enabled=False)
+    cfg = default_config()
+    # dynamic cube dropped onto static cube
+    state = _state([[0.0, 0.0, 0.0], [0.0, 0.0, 0.5]])
+    state, _ = engine.simulate_steps(atlas, params, state, floor, pairs, 0.01, 300, cfg)
+    p = np.asarray(state.pos)
+    np.testing.assert_allclose(p[0], [0, 0, 0], atol=1e-6)  # static unmoved
+    assert abs(p[1, 2] - 0.2) < 0.02, f"dynamic rests on static: z = {p[1,2]}"
+
+
+def test_check_overlaps():
+    atlas, params, pairs = _make_world(2, half=0.1)
+    state = _state([[0.0, 0.0, 0.0], [0.05, 0.0, 0.0]])  # overlapping
+    hits = engine.check_overlaps(atlas, params, state, pairs)
+    assert bool(hits[0]) and bool(hits[1])
+    state2 = _state([[0.0, 0.0, 0.0], [0.5, 0.0, 0.0]])  # separated
+    hits2 = engine.check_overlaps(atlas, params, state2, pairs)
+    assert not bool(hits2[0]) and not bool(hits2[1])
+
+
+def test_vmap_over_scenes():
+    """The scene axis is the batch axis: same geometry, many states."""
+    atlas, params, pairs = _make_world(1, half=0.1)
+    floor = make_floor(height=0.0)
+    cfg = default_config()
+    n_scenes = 4
+    heights = jnp.array([[0.2], [0.3], [0.4], [0.5]], jnp.float32)
+    pos = jnp.concatenate(
+        [jnp.zeros((n_scenes, 1, 2)), heights[..., None]], axis=-1
+    )
+    states = BodyState(
+        pos=pos,
+        quat=jnp.tile(jnp.array([1.0, 0, 0, 0]), (n_scenes, 1, 1)),
+        lin_vel=jnp.zeros((n_scenes, 1, 3)),
+        ang_vel=jnp.zeros((n_scenes, 1, 3)),
+    )
+
+    def settle(state):
+        def body(st, _):
+            st, _ = engine.step_fn(atlas, params, st, floor, pairs, 0.01, cfg)
+            return st, None
+
+        out, _ = jax.lax.scan(body, state, None, length=300)
+        return out
+
+    final = jax.jit(jax.vmap(settle))(states)
+    z = np.asarray(final.pos[:, 0, 2])
+    np.testing.assert_allclose(z, 0.1, atol=0.02)
