@@ -1,0 +1,164 @@
+"""The tabletop arrange-and-settle program (functional, jittable).
+
+Reproduces Scene::simulateTableTopScene (reference src/scene.cpp:612-759):
+
+- a static floor box is added only when ALL objects are dynamic; its top
+  surface is z = 0.04 (BOX_HALF_EXTENTS.z); otherwise objects stack from
+  z = 0.4 onto the scene's static objects and no floor is added,
+- dynamic objects are stacked at increasing z with random orientations:
+  z += d/2; pose = (q, z*normal) * translate(-bbox_center); z += d/2,
+- 100 outer iterations of one 25 FPS frame each, 4 substeps (dt = 0.01),
+- redrop when an object falls below z = -0.5 or stays interpenetrated
+  (min separation < -0.01) for more than 0.4 s (10 frames): it is placed at
+  x = y = 0 above the highest other object with velocities cleared
+  (src/scene.cpp:686-711),
+- the whole loop is ONE lax.scan -> ONE XLA program; vmap over scenes for
+  batched datagen.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from .contacts import Floor
+from .engine import step_fn
+from .types import BodyParams, BodyState, HullAtlas, SolverConfig
+
+FLOOR_TOP_Z = 0.04  # reference BOX_HALF_EXTENTS.z (src/scene.cpp:650)
+STACK_BASE_STATIC = 0.4  # starting z when static objects exist (src/scene.cpp:634)
+FRAME_TIME = 1.0 / 25.0
+SUBSTEPS = 4
+MAX_ITERATIONS = 100
+REDROP_Z = -0.5
+STUCK_SEPARATION = -0.01
+STUCK_FRAMES = int(0.4 / FRAME_TIME)  # 10
+
+
+class TabletopGeom(NamedTuple):
+    """Per-body host-precomputed quantities the settle loop needs."""
+
+    diameter: jax.Array  # (NB,) bbox diagonal (pretransformed)
+    bbox_center: jax.Array  # (NB, 3) bbox center in mesh frame (pretransformed)
+    dynamic: jax.Array  # (NB,) bool: participates in stacking/redrop
+
+
+def stack_objects(
+    key: jax.Array, geom: TabletopGeom, base_z: jax.Array, quats: jax.Array | None = None
+) -> BodyState:
+    """Initial stacked poses with random orientations
+    (reference src/scene.cpp:670-679)."""
+    nb = geom.diameter.shape[0]
+    if quats is None:
+        quats = m.random_quaternion(key, (nb,))
+    d = jnp.where(geom.dynamic, geom.diameter, 0.0)
+    # z_i = base + sum_{j<i} d_j + d_i/2 (cumulative stacking)
+    cum = jnp.cumsum(d) - d
+    z = base_z + cum + d / 2.0
+    center_pos = jnp.stack([jnp.zeros_like(z), jnp.zeros_like(z), z], axis=-1)
+    # pose = (q, pos) * translate(-bbox_center): origin = pos - R @ center
+    R = m.quat_to_matrix(quats)
+    pos = center_pos - jnp.einsum("bij,bj->bi", R, geom.bbox_center)
+    quat = jnp.where(geom.dynamic[:, None], quats, jnp.array([1.0, 0, 0, 0]))
+    pos = jnp.where(geom.dynamic[:, None], pos, 0.0)
+    return BodyState(
+        pos=pos,
+        quat=quat,
+        lin_vel=jnp.zeros((nb, 3), jnp.float32),
+        ang_vel=jnp.zeros((nb, 3), jnp.float32),
+    )
+
+
+def _redrop(state: BodyState, geom: TabletopGeom, which: jax.Array) -> BodyState:
+    """Teleport flagged objects above the pile at x = y = 0
+    (reference redropObject, src/scene.cpp:686-711)."""
+    R = m.quat_to_matrix(state.quat)
+    center_world = state.pos + jnp.einsum("bij,bj->bi", R, geom.bbox_center)
+    r = geom.diameter / 2.0
+    top = jnp.where(geom.dynamic, center_world[..., 2] + r, -jnp.inf)
+    # max over OTHERS: exclude self by taking max of top with self masked
+    nb = top.shape[0]
+    eye = jnp.eye(nb, dtype=bool)
+    others_top = jnp.max(jnp.where(eye, -jnp.inf, top[None, :]), axis=1)
+    max_z = jnp.maximum(others_top, 0.0)  # reference starts maxZ at 0
+
+    bbox_offset_z = jnp.einsum("bij,bj->bi", R, geom.bbox_center)[..., 2] - r
+    new_z = max_z - bbox_offset_z
+    new_pos = jnp.stack([jnp.zeros_like(new_z), jnp.zeros_like(new_z), new_z], axis=-1)
+
+    w = which[:, None]
+    return BodyState(
+        pos=jnp.where(w, new_pos, state.pos),
+        quat=state.quat,
+        lin_vel=jnp.where(w, 0.0, state.lin_vel),
+        ang_vel=jnp.where(w, 0.0, state.ang_vel),
+    )
+
+
+def settle(
+    atlas: HullAtlas,
+    params: BodyParams,
+    state: BodyState,
+    floor: Floor,
+    pairs: jax.Array,
+    geom: TabletopGeom,
+    cfg: SolverConfig,
+    iterations: int = MAX_ITERATIONS,
+    substeps: int = SUBSTEPS,
+) -> BodyState:
+    """The 100-iteration settle loop with redrop recovery."""
+    sub_dt = FRAME_TIME / substeps
+    nb = params.inv_mass.shape[0]
+
+    def frame(carry, _):
+        st, stuck = carry
+
+        def sub(c, _):
+            s, min_sep = c
+            s, rep = step_fn(atlas, params, s, floor, pairs, sub_dt, cfg)
+            return (s, jnp.minimum(min_sep, rep.min_separation)), None
+
+        (st, min_sep), _ = jax.lax.scan(
+            sub, (st, jnp.full((nb,), jnp.inf, jnp.float32)), None, length=substeps
+        )
+
+        fallen = st.pos[..., 2] < REDROP_Z
+        interpenetrating = min_sep < STUCK_SEPARATION
+        stuck = jnp.where(
+            interpenetrating, stuck + 1, jnp.maximum(stuck - 1, 0)
+        )
+        stuck_too_long = stuck > STUCK_FRAMES
+        redrop_mask = (fallen | stuck_too_long) & geom.dynamic & params.valid
+        st = _redrop(st, geom, redrop_mask)
+        stuck = jnp.where(redrop_mask, 0, stuck)
+        return (st, stuck), None
+
+    (state, _), _ = jax.lax.scan(
+        frame, (state, jnp.zeros((nb,), jnp.int32)), None, length=iterations
+    )
+    return state
+
+
+@partial(jax.jit, static_argnames=("cfg", "iterations", "substeps"))
+def simulate_tabletop(
+    key: jax.Array,
+    atlas: HullAtlas,
+    params: BodyParams,
+    floor: Floor,
+    pairs: jax.Array,
+    geom: TabletopGeom,
+    cfg: SolverConfig,
+    base_z: jax.Array,
+    iterations: int = MAX_ITERATIONS,
+    substeps: int = SUBSTEPS,
+) -> BodyState:
+    """stack + settle in one program. ``base_z`` is FLOOR_TOP_Z when a floor
+    box was added, STACK_BASE_STATIC otherwise."""
+    state = stack_objects(key, geom, base_z)
+    return settle(
+        atlas, params, state, floor, pairs, geom, cfg, iterations, substeps
+    )

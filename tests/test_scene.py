@@ -1,0 +1,150 @@
+import numpy as np
+import pytest
+
+import stillleben_tpu as sl
+
+
+def _cube_scene(n=2, scale=0.2, seed=0):
+    scene = sl.Scene((256, 256))
+    scene.seed(seed)
+    mesh = sl.Mesh("primitive://cube")
+    mesh.scale_to_bbox_diagonal(scale)
+    for _ in range(n):
+        obj = sl.Object(mesh)
+        scene.add_object(obj)
+    return scene
+
+
+def test_default_camera():
+    scene = sl.Scene((640, 480))
+    P = scene.projection_matrix()
+    # default 58 deg horizontal FOV (reference src/scene.cpp:138-145)
+    fx = P[0, 0] * 640 / 2
+    assert abs(fx - 640 / (2 * np.tan(np.deg2rad(29)))) < 0.1
+    np.testing.assert_allclose(scene.camera_pose(), np.eye(4))
+
+
+def test_instance_index_auto_assign():
+    scene = _cube_scene(3)
+    assert [o.instance_index for o in scene.objects] == [1, 2, 3]
+
+
+def test_physics_gravity_and_velocity():
+    """Reference tests/test_python.py:111-130 via the Scene API."""
+    scene = _cube_scene(1)
+    obj = scene.objects[0]
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = [0, 0, 10]
+    obj.set_pose(T)
+    obj.linear_velocity = [1.0, 0.0, 0.0]
+    for _ in range(10):
+        scene.simulate(0.002)
+    v = obj.linear_velocity
+    assert abs(v[0] - 1.0) < 1e-4
+    assert abs(v[2] - (-9.81 * 0.02)) < 1e-3
+    p = obj.pose()[:3, 3]
+    assert p[2] < 10.0
+
+
+def test_tabletop_settle():
+    scene = _cube_scene(3, scale=0.2, seed=42)
+    scene.simulate_tabletop_scene()
+    half = 0.2 / np.sqrt(12)  # cube half-extent for diagonal 0.2
+    for o in scene.objects:
+        p = o.pose()[:3, 3]
+        # settled on/above the floor plane (top at z = 0.04), not fallen
+        z_center = (o.pose() @ np.append(o.mesh.bbox.center, 1.0))[2]
+        assert z_center > 0.0, f"object fell: {p}"
+        assert z_center < 1.0, f"object flew away: {p}"
+        assert np.linalg.norm(p[:2]) < 1.0
+    # camera was repositioned to look at the pile
+    cp = scene.camera_pose()
+    assert not np.allclose(cp, np.eye(4))
+    # objects project inside the image
+    from stillleben_tpu.render.camera import project_points
+    import jax.numpy as jnp
+
+    W, H = scene.viewport
+    inv = np.linalg.inv(cp)
+    for o in scene.objects:
+        center_world = (o.pose() @ np.append(o.mesh.bbox.center, 1.0))[:3]
+        center_cam = inv[:3, :3] @ center_world + inv[:3, 3]
+        u, v, w = project_points(
+            jnp.asarray(scene.projection_matrix()), jnp.asarray(center_cam), W, H
+        )
+        assert float(w) > 0, "object behind camera"
+        assert -W * 0.2 < float(u) < W * 1.2
+        assert -H * 0.2 < float(v) < H * 1.2
+
+
+def test_find_noncolliding_pose():
+    scene = _cube_scene(2, scale=0.3, seed=1)
+    a, b = scene.objects
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = [0, 0, 1.0]
+    a.set_pose(T)
+    ok = scene.find_noncolliding_pose(b, sampler="random", max_iterations=20)
+    assert ok
+    assert not scene.is_object_colliding(b)
+
+
+def test_find_noncolliding_pose_view_corrected():
+    scene = _cube_scene(1, scale=0.3, seed=2)
+    obj = scene.objects[0]
+    ok = scene.find_noncolliding_pose(
+        obj, sampler="view_corrected", orientation=np.eye(3), max_iterations=5
+    )
+    assert ok
+
+
+def test_serialization_roundtrip(cube_glb):
+    scene = sl.Scene((320, 240))
+    scene.seed(3)
+    mesh = sl.Mesh(cube_glb)
+    mesh.scale_to_bbox_diagonal(0.5)
+    obj = sl.Object(mesh)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = np.array(
+        [[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32
+    )
+    T[:3, 3] = [0.1, 0.2, 0.3]
+    obj.set_pose(T)
+    obj.metallic = 0.7
+    scene.add_object(obj)
+    scene.ambient_light = [0.1, 0.2, 0.3]
+    scene.manual_exposure = 2.0
+
+    text = scene.serialize()
+    scene2 = sl.Scene((320, 240))
+    cache = sl.MeshCache()
+    scene2.deserialize(text, cache)
+
+    assert scene2.viewport == (320, 240)
+    np.testing.assert_allclose(scene2.objects[0].pose(), T, atol=1e-6)
+    np.testing.assert_allclose(
+        scene2.objects[0].mesh.pretransform, mesh.pretransform, atol=1e-6
+    )
+    assert scene2.objects[0].metallic == pytest.approx(0.7)
+    assert scene2.manual_exposure == 2.0
+
+    # MeshCache dedupe (reference tests/basic.cpp:309-373)
+    scene3 = sl.Scene((320, 240))
+    scene3.deserialize(text, cache)
+    assert scene3.objects[0].mesh is scene2.objects[0].mesh
+
+
+def test_camera_look_at():
+    scene = sl.Scene((100, 100))
+    scene.set_camera_look_at([0, 0, 2], [0, 0, 0], up=[0, 1, 0])
+    cp = scene.camera_pose()
+    np.testing.assert_allclose(cp[:3, 2], [0, 0, -1], atol=1e-6)  # +z toward target
+
+
+def test_pose_rigidity_check():
+    scene = _cube_scene(1)
+    bad = np.eye(4, dtype=np.float32)
+    bad[0, 0] = 2.0
+    with pytest.raises(ValueError):
+        scene.objects[0].set_pose(bad)
+    with pytest.raises(ValueError):
+        scene.set_camera_pose(bad)
