@@ -1,0 +1,340 @@
+"""Scene atlas: packed device arrays for rendering.
+
+The reference uploads each mesh to GL buffers and draws per-object with
+uniform churn (render_pass.cpp:584-622). TPU-first instead: ONE set of
+packed arrays per scene template — all object instances' vertices and faces
+concatenated — so the whole frame is a single jitted program of dense
+gathers/matmuls. Poses/materials/lights arrive as traced inputs
+(`RenderInputs`); geometry/topology are static per template.
+
+Split:
+- ``SceneAtlas``   — static: instanced vertex/face arrays, material table,
+  texture stack, per-object static ids.
+- ``RenderInputs`` — traced: poses, camera, lights, overrides, background.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import math as m
+
+TEXTURE_SIZE = 256  # all material textures resampled to this (round-1: no mips)
+
+
+class SceneAtlas(NamedTuple):
+    # instanced vertex data (VI = sum over objects of their mesh's verts)
+    positions: jax.Array  # (VI, 3) f32 RAW mesh-frame positions
+    normals: jax.Array  # (VI, 3)
+    texcoords: jax.Array  # (VI, 2)
+    colors: jax.Array  # (VI, 4)
+    tangents: jax.Array  # (VI, 4)
+    vertex_index: jax.Array  # (VI,) i32 1-based per-mesh global id
+    vert_obj: jax.Array  # (VI,) i32 object slot of each instanced vertex
+
+    faces: jax.Array  # (FI, 3) i32 into instanced vertex arrays
+    face_obj: jax.Array  # (FI,) i32
+    face_mat: jax.Array  # (FI,) i32 into material table
+
+    # material table (NM entries)
+    mat_base_color: jax.Array  # (NM, 4) f32 (linear)
+    mat_emissive: jax.Array  # (NM, 3)
+    mat_metallic: jax.Array  # (NM,)
+    mat_roughness: jax.Array  # (NM,)
+    mat_alpha_cutoff: jax.Array  # (NM,)
+    mat_base_tex: jax.Array  # (NM,) i32, -1 = none
+    mat_mr_tex: jax.Array  # (NM,) i32
+    mat_normal_tex: jax.Array  # (NM,) i32
+    mat_emissive_tex: jax.Array  # (NM,) i32
+
+    textures: jax.Array  # (NT, S, S, 4) f32 LINEAR
+
+    # per-object static
+    obj_class: jax.Array  # (NB,) i32
+    num_objects: int  # static python int (incl. background plane slot if any)
+
+
+class RenderInputs(NamedTuple):
+    """Per-frame traced inputs."""
+
+    obj_to_world: jax.Array  # (NB, 4, 4) object pose
+    mesh_to_obj: jax.Array  # (NB, 4, 4) pretransform
+    obj_instance: jax.Array  # (NB,) i32
+    obj_metallic: jax.Array  # (NB,) f32 override, -1 = none
+    obj_roughness: jax.Array  # (NB,)
+    obj_visible: jax.Array  # (NB,) bool (draw predicate)
+    obj_casts_shadows: jax.Array  # (NB,) bool
+    cam_pose: jax.Array  # (4, 4) camera-to-world
+    projection: jax.Array  # (4, 4)
+    light_directions: jax.Array  # (L, 3) world
+    light_colors: jax.Array  # (L, 3)
+    ambient_light: jax.Array  # (3,)
+    background_color: jax.Array  # (4,)
+    manual_exposure: jax.Array  # scalar, -1 = auto
+    sticker_vp: jax.Array  # (NB, 4, 4)
+    sticker_range: jax.Array  # (NB, 4) x,y,w,h (zeros = no sticker)
+
+
+def _resample_texture(img: np.ndarray, size: int = TEXTURE_SIZE) -> np.ndarray:
+    """uint8 sRGB (H,W,4) -> (S,S,4) f32 linear (gamma 2.2 like the frag
+    shader's toLinear, render_shader.frag:141-148; alpha stays linear)."""
+    from PIL import Image
+
+    im = Image.fromarray(img, "RGBA").resize((size, size), Image.BILINEAR)
+    arr = np.asarray(im, np.float32) / 255.0
+    arr[..., :3] = arr[..., :3] ** 2.2
+    return arr
+
+
+def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:
+    """Build the static atlas from host Objects.
+
+    ``background_plane``: optional dict(size (2,), texture (H,W,4) u8 or None)
+    — becomes an extra object slot with class/instance 0
+    (reference render_pass.cpp:545-582).
+    """
+    pos_l, nrm_l, uv_l, col_l, tan_l, vid_l, vobj_l = [], [], [], [], [], [], []
+    face_l, fobj_l, fmat_l = [], [], []
+    mats = []  # list of dicts
+    textures: list[np.ndarray] = []
+    tex_cache: dict[int, int] = {}
+    obj_class = []
+
+    def add_texture(img: np.ndarray) -> int:
+        key = id(img)
+        if key not in tex_cache:
+            tex_cache[key] = len(textures)
+            textures.append(_resample_texture(img))
+        return tex_cache[key]
+
+    def add_material(gm, images) -> int:
+        """Reference defaulting rules (render_shader.cpp:355-378):
+        defaults metallic .04 / roughness .5; texture presence promotes the
+        factor to 1.0; explicit factors override."""
+        metallic = 0.04
+        roughness = 0.5
+        if gm is not None:
+            if gm.metallic_roughness_texture >= 0:
+                metallic = 1.0
+                roughness = 1.0
+            if gm.has_metallic_factor:
+                metallic = gm.metallic
+            if gm.has_roughness_factor:
+                roughness = gm.roughness
+            base = np.asarray(gm.base_color, np.float32)
+            emissive = np.asarray(gm.emissive, np.float32)
+            base_tex = (
+                add_texture(images[gm.base_color_texture])
+                if gm.base_color_texture >= 0
+                else -1
+            )
+            mr_tex = (
+                add_texture(images[gm.metallic_roughness_texture])
+                if gm.metallic_roughness_texture >= 0
+                else -1
+            )
+            normal_tex = (
+                add_texture(images[gm.normal_texture]) if gm.normal_texture >= 0 else -1
+            )
+            emissive_tex = (
+                add_texture(images[gm.emissive_texture])
+                if gm.emissive_texture >= 0
+                else -1
+            )
+        else:
+            from ..context import DEFAULT_MATERIAL_COLOR
+
+            base = DEFAULT_MATERIAL_COLOR.copy()
+            emissive = np.zeros(3, np.float32)
+            base_tex = mr_tex = normal_tex = emissive_tex = -1
+        mats.append(
+            dict(
+                base=base,
+                emissive=emissive,
+                metallic=metallic,
+                roughness=roughness,
+                cutoff=0.5,  # reference render_shader.cpp:381 materialParameters[2].x
+                base_tex=base_tex,
+                mr_tex=mr_tex,
+                normal_tex=normal_tex,
+                emissive_tex=emissive_tex,
+            )
+        )
+        return len(mats) - 1
+
+    v_off = 0
+    all_objects = list(objects)
+    for oi, obj in enumerate(all_objects):
+        c = obj.mesh.consolidated
+        nv = c.num_vertices
+        positions = c.positions
+        colors = c.colors
+        if obj._color is not None and obj._force_color:
+            colors = np.tile(
+                np.append(obj._color[:3], 1.0).astype(np.float32), (nv, 1)
+            )
+        pos_l.append(positions)
+        nrm_l.append(c.normals)
+        uv_l.append(c.texcoords)
+        col_l.append(colors)
+        tan_l.append(c.tangents)
+        vid_l.append(c.vertex_indices.astype(np.int32))
+        vobj_l.append(np.full(nv, oi, np.int32))
+
+        # per-submesh materials -> per-face material ids
+        mat_ids = {}
+        for sm in c.sub_meshes:
+            if sm.material not in mat_ids:
+                gm = c.materials[sm.material] if sm.material >= 0 else None
+                mat_ids[sm.material] = add_material(gm, c.images)
+            fm = mat_ids[sm.material]
+            face_l.append(
+                c.faces[sm.face_offset : sm.face_offset + sm.face_count].astype(np.int64)
+                + v_off
+            )
+            n = sm.face_count
+            fobj_l.append(np.full(n, oi, np.int32))
+            fmat_l.append(np.full(n, fm, np.int32))
+        obj_class.append(obj.mesh.class_index)
+        v_off += nv
+
+    nb = len(all_objects)
+    if background_plane is not None and np.any(background_plane["size"]):
+        # unit plane scaled by size/2 in XY (drawn at backgroundPlanePose)
+        sx, sy = (float(s) / 2 for s in background_plane["size"])
+        plane_pos = np.array(
+            [[-sx, -sy, 0], [sx, -sy, 0], [sx, sy, 0], [-sx, sy, 0]], np.float32
+        )
+        pos_l.append(plane_pos)
+        nrm_l.append(np.tile([[0.0, 0, 1]], (4, 1)).astype(np.float32))
+        uv_l.append(np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32))
+        col_l.append(np.ones((4, 4), np.float32))
+        t = np.zeros((4, 4), np.float32)
+        t[:, 0] = 1
+        t[:, 3] = 1
+        tan_l.append(t)
+        vid_l.append(np.zeros(4, np.int32))  # plane verts get id 0 (background)
+        vobj_l.append(np.full(4, nb, np.int32))
+        face_l.append(np.array([[0, 1, 2], [0, 2, 3]], np.int64) + v_off)
+        fobj_l.append(np.full(2, nb, np.int32))
+        tex = background_plane.get("texture")
+        tid = add_texture(tex) if tex is not None else -1
+        mats.append(
+            dict(
+                base=np.ones(4, np.float32),
+                emissive=np.zeros(3, np.float32),
+                metallic=0.04,
+                roughness=0.5,
+                cutoff=0.5,
+                base_tex=tid,
+                mr_tex=-1,
+                normal_tex=-1,
+                emissive_tex=-1,
+            )
+        )
+        fmat_l.append(np.full(2, len(mats) - 1, np.int32))
+        obj_class.append(0)
+        v_off += 4
+        nb += 1
+
+    if not mats:  # empty scene
+        mats.append(
+            dict(
+                base=np.ones(4, np.float32), emissive=np.zeros(3, np.float32),
+                metallic=0.04, roughness=0.5, cutoff=0.5,
+                base_tex=-1, mr_tex=-1, normal_tex=-1, emissive_tex=-1,
+            )
+        )
+    if not pos_l:
+        pos_l.append(np.zeros((3, 3), np.float32))
+        nrm_l.append(np.tile([[0.0, 0, 1]], (3, 1)).astype(np.float32))
+        uv_l.append(np.zeros((3, 2), np.float32))
+        col_l.append(np.ones((3, 4), np.float32))
+        tan_l.append(np.zeros((3, 4), np.float32))
+        vid_l.append(np.zeros(3, np.int32))
+        vobj_l.append(np.zeros(3, np.int32))
+        face_l.append(np.zeros((1, 3), np.int64))
+        fobj_l.append(np.zeros(1, np.int32))
+        fmat_l.append(np.zeros(1, np.int32))
+        obj_class.append(0)
+        nb = max(nb, 1)
+
+    if not textures:
+        textures.append(np.ones((4, 4, 4), np.float32))
+
+    return SceneAtlas(
+        positions=jnp.asarray(np.concatenate(pos_l)),
+        normals=jnp.asarray(np.concatenate(nrm_l)),
+        texcoords=jnp.asarray(np.concatenate(uv_l)),
+        colors=jnp.asarray(np.concatenate(col_l)),
+        tangents=jnp.asarray(np.concatenate(tan_l)),
+        vertex_index=jnp.asarray(np.concatenate(vid_l)),
+        vert_obj=jnp.asarray(np.concatenate(vobj_l)),
+        faces=jnp.asarray(np.concatenate(face_l).astype(np.int32)),
+        face_obj=jnp.asarray(np.concatenate(fobj_l)),
+        face_mat=jnp.asarray(np.concatenate(fmat_l)),
+        mat_base_color=jnp.asarray(np.stack([mt["base"] for mt in mats])),
+        mat_emissive=jnp.asarray(np.stack([mt["emissive"] for mt in mats])),
+        mat_metallic=jnp.asarray(np.array([mt["metallic"] for mt in mats], np.float32)),
+        mat_roughness=jnp.asarray(np.array([mt["roughness"] for mt in mats], np.float32)),
+        mat_alpha_cutoff=jnp.asarray(np.array([mt["cutoff"] for mt in mats], np.float32)),
+        mat_base_tex=jnp.asarray(np.array([mt["base_tex"] for mt in mats], np.int32)),
+        mat_mr_tex=jnp.asarray(np.array([mt["mr_tex"] for mt in mats], np.int32)),
+        mat_normal_tex=jnp.asarray(np.array([mt["normal_tex"] for mt in mats], np.int32)),
+        mat_emissive_tex=jnp.asarray(np.array([mt["emissive_tex"] for mt in mats], np.int32)),
+        textures=jnp.asarray(np.stack(textures)),
+        obj_class=jnp.asarray(np.array(obj_class, np.int32)),
+        num_objects=nb,
+    )
+
+
+def render_inputs_from_scene(scene, atlas: SceneAtlas) -> RenderInputs:
+    """Extract traced per-frame inputs from a host Scene."""
+    nb = atlas.num_objects
+    objs = scene.objects
+    obj_to_world = np.tile(np.eye(4, dtype=np.float32), (nb, 1, 1))
+    mesh_to_obj = np.tile(np.eye(4, dtype=np.float32), (nb, 1, 1))
+    instance = np.zeros(nb, np.int32)
+    metallic = np.full(nb, -1.0, np.float32)
+    roughness = np.full(nb, -1.0, np.float32)
+    visible = np.ones(nb, bool)
+    shadows = np.ones(nb, bool)
+    sticker_vp = np.tile(np.eye(4, dtype=np.float32), (nb, 1, 1))
+    sticker_range = np.zeros((nb, 4), np.float32)
+
+    for i, o in enumerate(objs):
+        obj_to_world[i] = o.pose()
+        mesh_to_obj[i] = o.mesh.pretransform
+        instance[i] = o.instance_index
+        metallic[i] = o.metallic
+        roughness[i] = o.roughness
+        shadows[i] = o.casts_shadows
+        if o.sticker_texture is not None and np.any(o.sticker_range):
+            sticker_vp[i] = o.sticker_view_projection()
+            sticker_range[i] = o.sticker_range
+
+    if nb > len(objs):  # background plane slot
+        obj_to_world[len(objs)] = scene.background_plane_pose
+
+    return RenderInputs(
+        obj_to_world=jnp.asarray(obj_to_world),
+        mesh_to_obj=jnp.asarray(mesh_to_obj),
+        obj_instance=jnp.asarray(instance),
+        obj_metallic=jnp.asarray(metallic),
+        obj_roughness=jnp.asarray(roughness),
+        obj_visible=jnp.asarray(visible),
+        obj_casts_shadows=jnp.asarray(shadows),
+        cam_pose=jnp.asarray(scene.camera_pose()),
+        projection=jnp.asarray(scene.projection_matrix()),
+        light_directions=jnp.asarray(scene.light_directions.copy()),
+        light_colors=jnp.asarray(scene.light_colors.copy()),
+        ambient_light=jnp.asarray(scene.ambient_light),
+        background_color=jnp.asarray(scene.background_color),
+        manual_exposure=jnp.asarray(scene.manual_exposure, jnp.float32),
+        sticker_vp=jnp.asarray(sticker_vp),
+        sticker_range=jnp.asarray(sticker_range),
+    )

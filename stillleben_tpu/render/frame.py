@@ -1,0 +1,159 @@
+"""Whole-frame render program: geometry -> rasterize -> shade -> tone map.
+
+One jitted XLA program per (atlas shape, viewport, flags) — the TPU
+equivalent of RenderPass::render's GL pipeline (render_pass.cpp:303-796),
+minus per-object uniform churn. vmap over RenderInputs batches scenes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .atlas import RenderInputs, SceneAtlas
+from .rasterize import GBuffer, geometry_stage, rasterize
+from .shading import FrameOutputs, shade
+from .tonemap import tone_map
+
+
+class FrameConfig(NamedTuple):
+    width: int
+    height: int
+    shading: str = "pbr"  # "pbr" | "phong" (same shader in reference) | "flat"
+    ssao: bool = True
+    near: float = 0.1
+    far: float = 10.0
+    chunk: int = 256
+
+
+class RenderedFrame(NamedTuple):
+    rgb: jax.Array  # (H, W, 4) u8 (tone-mapped, LINEAR per reference quirk)
+    hdr: jax.Array  # (H, W, 4) f32 pre-tonemap
+    object_coordinates: jax.Array  # (H, W, 4) f32
+    cam_coordinates: jax.Array  # (H, W, 4) f32
+    class_index: jax.Array  # (H, W) u16
+    instance_index: jax.Array  # (H, W) u16
+    normals: jax.Array  # (H, W, 4) f32
+    vertex_indices: jax.Array  # (H, W, 3) i32
+    barycentric_coeffs: jax.Array  # (H, W, 3) f32
+    depth: jax.Array  # (H, W) f32
+    valid: jax.Array  # (H, W) bool
+
+
+def render_frame_core(
+    atlas: SceneAtlas,
+    inputs: RenderInputs,
+    cfg: FrameConfig,
+    background_image: jax.Array | None = None,  # (H, W, 4) f32 linear
+    light_map=None,
+    depth_peel_depth: jax.Array | None = None,
+) -> RenderedFrame:
+    H, W = cfg.height, cfg.width
+    geom = geometry_stage(atlas, inputs, W, H)
+
+    # shadow maps (one ortho depth render per active light)
+    shadow_maps = None
+    shadow_matrices = None
+    if cfg.shading != "flat":
+        from .shadow import render_shadow_maps
+
+        shadow_maps, shadow_matrices = render_shadow_maps(
+            atlas, inputs, geom, cfg
+        )
+
+    gbuf = rasterize(
+        geom, atlas, inputs, W, H,
+        near=cfg.near, far=cfg.far, chunk=cfg.chunk,
+        min_depth=depth_peel_depth,
+    )
+    out = shade(
+        atlas, inputs, geom, gbuf,
+        shading=cfg.shading,
+        light_map=light_map,
+        shadow_maps=shadow_maps,
+        shadow_matrices=shadow_matrices,
+    )
+
+    # SSAO (multiplies object RGB, reference render_pass.cpp:662-694)
+    hdr_obj = out.hdr
+    if cfg.ssao and cfg.shading != "flat":
+        from .ssao import ssao_apply
+
+        hdr_obj = ssao_apply(
+            hdr_obj, out.cam_coordinates, out.normals, out.valid, inputs.projection
+        )
+
+    # background: image > skybox > background color (alpha 0; the reference
+    # clears to transparent black and only writes color via bg quad/skybox)
+    if background_image is not None:
+        bg_rgb = background_image[..., :3]
+        bg_a = jnp.ones((H, W), jnp.float32)
+    elif light_map is not None:
+        from .ibl import sample_skybox
+
+        bg_rgb = sample_skybox(light_map, inputs, W, H)
+        bg_a = jnp.ones((H, W), jnp.float32)
+    else:
+        bg_rgb = jnp.broadcast_to(inputs.background_color[:3], (H, W, 3))
+        bg_a = jnp.zeros((H, W), jnp.float32)
+
+    composed = jnp.where(
+        out.valid[..., None],
+        hdr_obj,
+        jnp.concatenate([bg_rgb, bg_a[..., None]], -1),
+    )
+
+    if cfg.shading != "flat":
+        mapped = tone_map(composed, hdr_obj * out.valid[..., None], inputs.manual_exposure)
+    else:
+        mapped = jnp.clip(composed, 0.0, 1.0)
+
+    rgb_u8 = jnp.round(jnp.clip(mapped, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+    return RenderedFrame(
+        rgb=rgb_u8,
+        hdr=composed,
+        object_coordinates=out.object_coordinates,
+        cam_coordinates=out.cam_coordinates,
+        class_index=out.class_index,
+        instance_index=out.instance_index,
+        normals=out.normals,
+        vertex_indices=out.vertex_indices,
+        barycentric_coeffs=out.barycentric_coeffs,
+        depth=out.depth,
+        valid=out.valid,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "has_bg", "has_lm"))
+def _render_frame_jit(atlas, inputs, cfg, background_image, light_map, depth_peel, has_bg, has_lm):
+    return render_frame_core(
+        atlas, inputs, cfg,
+        background_image=background_image if has_bg else None,
+        light_map=light_map if has_lm else None,
+        depth_peel_depth=depth_peel,
+    )
+
+
+def render_frame(
+    atlas: SceneAtlas,
+    inputs: RenderInputs,
+    cfg: FrameConfig,
+    background_image=None,
+    light_map=None,
+    depth_peel_depth=None,
+) -> RenderedFrame:
+    H, W = cfg.height, cfg.width
+    if depth_peel_depth is None:
+        depth_peel_depth = jnp.zeros((H, W), jnp.float32)
+    return _render_frame_jit(
+        atlas, inputs, cfg,
+        background_image if background_image is not None else jnp.zeros((1, 1, 4)),
+        light_map if light_map is not None else 0,
+        depth_peel_depth,
+        background_image is not None,
+        light_map is not None,
+    )

@@ -1,0 +1,65 @@
+"""IBL shading term + skybox sampling (reference render_shader.frag:375-394
+and background_cube_shader)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from .light_map import LightMapData, PREFILTER_MIPS, get_brdf_lut, sample_cubemap
+
+
+def _sample_prefilter(lm: LightMapData, dirs: jax.Array, lod: jax.Array) -> jax.Array:
+    """Trilinear between the 5 prefiltered mips (lod in [0, 4])."""
+    lod = jnp.clip(lod, 0.0, PREFILTER_MIPS - 1.0)
+    lo = jnp.floor(lod)
+    frac = (lod - lo)[..., None]
+    out = jnp.zeros(dirs.shape[:-1] + (3,), jnp.float32)
+    for i in range(PREFILTER_MIPS):
+        sample_i = sample_cubemap(lm.prefilter_mip(i), dirs)
+        w = jnp.clip(1.0 - jnp.abs(lod - i), 0.0, 1.0)[..., None]
+        out = out + sample_i * w
+    return out
+
+
+def _sample_lut(lut: jax.Array, NoV: jax.Array, roughness: jax.Array) -> jax.Array:
+    S = lut.shape[0]
+    u = jnp.clip((NoV * S - 0.5).astype(jnp.int32), 0, S - 1)
+    v = jnp.clip((roughness * S - 0.5).astype(jnp.int32), 0, S - 1)
+    return lut[v, u]
+
+
+def ibl_term(lm: LightMapData, normal, V, NoV, roughness, F0, k_S, c_diff):
+    """(reference render_shader.frag:375-394)"""
+    lut = get_brdf_lut()
+    f_ab = _sample_lut(lut, NoV, roughness)
+    lod = roughness * 4.0
+    light_dir = 2.0 * (normal * V).sum(-1, keepdims=True) * normal - V  # reflect(-V, n)
+    radiance = _sample_prefilter(lm, light_dir, lod)
+    irradiance = sample_cubemap(lm.irradiance, normal)
+
+    FssEss = k_S * f_ab[..., 0:1] + f_ab[..., 1:2]
+    Ems = 1.0 - (f_ab[..., 0:1] + f_ab[..., 1:2])
+    F_avg = F0 + (1.0 - F0) / 21.0
+    FmsEms = Ems * FssEss * F_avg / (1.0 - F_avg * Ems)
+    k_D = c_diff * (1.0 - FssEss - FmsEms)
+    return FssEss * radiance + (FmsEms + k_D) * irradiance
+
+
+def sample_skybox(lm: LightMapData, inputs, width: int, height: int) -> jax.Array:
+    """Per-pixel camera ray -> cubemap level 0 (background_cube_shader)."""
+    P = inputs.projection
+    fx = P[0, 0] * width / 2.0
+    fy = P[1, 1] * height / 2.0
+    cx = (P[0, 2] + 1.0) * width / 2.0
+    cy = (P[1, 2] + 1.0) * height / 2.0
+    xs = jnp.arange(width, dtype=jnp.float32) + 0.5
+    ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+    u, v = jnp.meshgrid(xs, ys, indexing="xy")
+    dir_cam = jnp.stack(
+        [(u - cx) / fx, (v - cy) / fy, jnp.ones_like(u)], axis=-1
+    )
+    dir_world = jnp.einsum("ij,hwj->hwi", inputs.cam_pose[:3, :3], dir_cam)
+    dir_world = m.normalize(dir_world)
+    return sample_cubemap(lm.cubemap, dir_world)

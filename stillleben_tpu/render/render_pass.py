@@ -1,0 +1,176 @@
+"""RenderPass / RenderPassResult — the user-facing render API.
+
+Parity with the reference (python/src/py_render_pass.cpp, src/render_pass.cpp):
+
+    pass = RenderPass(shading='pbr')        # 'pbr' | 'phong' | 'flat'
+    result = pass.render(scene, depth_peel=prev_result, predicate=fn)
+    result.rgb()               # (H, W, 4) uint8
+    result.class_index()       # (H, W) uint16
+    result.instance_index()    # (H, W) uint16
+    result.coordinates()       # (H, W, 3) f32 object coords (3000 = invalid)
+    result.depth()             # (H, W) f32 camera-space z (3000 = invalid)
+    result.coordDepth()        # (H, W, 4)
+    result.normals()           # (H, W, 4) cam-space normal + dot(N, V)
+    result.vertex_indices()    # (H, W, 3) int32 (1-based, 0 = background)
+    result.barycentric_coeffs()# (H, W, 3) f32
+    result.cam_coordinates()   # (H, W, 4)
+
+Outputs are jax.Arrays already resident in device HBM — the reference's
+CUDA-GL interop layer (src/cuda_interop.cpp) has no equivalent here by
+construction. Convert with np.asarray(...) or feed them straight to training.
+
+In the reference, 'phong' and 'pbr' compile the same shader
+(render_pass.cpp:54-65); only 'flat' differs. Same here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .atlas import build_scene_atlas, render_inputs_from_scene
+from .frame import FrameConfig, RenderedFrame, render_frame
+
+
+class RenderPassResult:
+    def __init__(self, frame: RenderedFrame):
+        self._f = frame
+
+    def rgb(self):
+        return self._f.rgb
+
+    def class_index(self):
+        return self._f.class_index
+
+    def instance_index(self):
+        return self._f.instance_index
+
+    def coordinates(self):
+        return self._f.object_coordinates[..., :3]
+
+    def depth(self):
+        return self._f.object_coordinates[..., 3]
+
+    def coordDepth(self):
+        return self._f.object_coordinates
+
+    def coord_depth(self):
+        return self._f.object_coordinates
+
+    def normals(self):
+        return self._f.normals
+
+    def vertex_indices(self):
+        return self._f.vertex_indices
+
+    def barycentric_coeffs(self):
+        return self._f.barycentric_coeffs
+
+    def cam_coordinates(self):
+        return self._f.cam_coordinates
+
+    @property
+    def frame(self) -> RenderedFrame:
+        return self._f
+
+
+class RenderPass:
+    def __init__(self, shading: str = "pbr", ssao: bool = True):
+        if shading not in ("pbr", "phong", "flat"):
+            raise ValueError(f"unknown shading type {shading!r}")
+        self._shading = "flat" if shading == "flat" else "pbr"
+        self.ssao_enabled = ssao
+        # atlas cache keyed on the scene's object-set stamp
+        self._atlas = None
+        self._atlas_key = None
+
+    def _get_atlas(self, scene):
+        bg_plane = None
+        if np.any(scene.background_plane_size):
+            tex = scene.background_plane_texture
+            bg_plane = {
+                "size": scene.background_plane_size,
+                "texture": tex.pixels if tex is not None else None,
+            }
+        key = (
+            id(scene),
+            tuple((id(o), o.mesh._dirty, o.mesh.class_index) for o in scene.objects),
+            tuple(np.asarray(scene.background_plane_size).tolist()),
+            id(scene.background_plane_texture),
+        )
+        if self._atlas is None or self._atlas_key != key:
+            self._atlas = build_scene_atlas(scene.objects, background_plane=bg_plane)
+            self._atlas_key = key
+        return self._atlas
+
+    def render(
+        self,
+        scene,
+        result=None,
+        depth_peel: "RenderPassResult | None" = None,
+        predicate=None,
+    ) -> RenderPassResult:
+        atlas = self._get_atlas(scene)
+        inputs = render_inputs_from_scene(scene, atlas)
+
+        if predicate is not None:
+            vis = np.ones(atlas.num_objects, bool)
+            for i, o in enumerate(scene.objects):
+                vis[i] = bool(predicate(o))
+            inputs = inputs._replace(obj_visible=jnp.asarray(vis))
+
+        # merge the light map's analytic lights into free light slots
+        # (reference render_pass.cpp: shadow pass uses scene lights incl.
+        # light-map sun; Scene.light_map lights drive shadows)
+        lm = scene.light_map
+        light_map_data = None
+        if lm is not None and lm.data is not None:
+            light_map_data = lm.data
+            dirs = np.asarray(inputs.light_directions)
+            cols = np.asarray(inputs.light_colors)
+            li = 0
+            for d, c in zip(lm.light_directions, lm.light_colors):
+                while li < len(dirs) and (np.any(dirs[li]) or np.any(cols[li])):
+                    li += 1
+                if li >= len(dirs):
+                    break
+                dirs[li] = d
+                cols[li] = c
+                li += 1
+            inputs = inputs._replace(
+                light_directions=jnp.asarray(dirs), light_colors=jnp.asarray(cols)
+            )
+
+        W, H = scene.viewport
+        cfg = FrameConfig(
+            width=W,
+            height=H,
+            shading=self._shading,
+            ssao=self.ssao_enabled,
+        )
+
+        bg_image = None
+        if scene.background_image is not None:
+            tex = scene.background_image
+            pix = tex.linear_f32()
+            if pix.shape[:2] != (H, W):
+                from PIL import Image
+
+                img = Image.fromarray(tex.pixels, "RGBA").resize((W, H), Image.BILINEAR)
+                pix = np.asarray(img, np.float32) / 255.0
+                pix[..., :3] = pix[..., :3] ** 2.2
+            bg_image = jnp.asarray(pix)
+
+        peel = depth_peel.frame.object_coordinates[..., 3] if depth_peel is not None else None
+        if peel is not None:
+            # background pixels carry 3000 = invalid; treat them as "no peel"
+            peel = jnp.where(peel >= 2999.0, 0.0, peel)
+
+        frame = render_frame(
+            atlas, inputs, cfg,
+            background_image=bg_image,
+            light_map=light_map_data,
+            depth_peel_depth=peel,
+        )
+        return RenderPassResult(frame)

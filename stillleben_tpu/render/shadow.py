@@ -1,0 +1,158 @@
+"""Shadow maps: per-light ortho depth render + 4x4 PCF lookup.
+
+Reference: 3-layer 2048^2 shadow texture array with hardware compare
+(render_pass.cpp:271-294), ortho matrix fitted to the casters
+(computeShadowMapMatrix, render_pass.cpp:131-211), 4x4 PCF with bias 3e-5
+(render_shader.frag:321-338). Here the ortho fit covers all shadow-casting
+objects' vertices (the reference intersects with the view frustum as an
+optimization of the same idea). Default resolution is reduced until the
+Pallas rasterizer lands; quality-only (GT buffers are unaffected).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from .atlas import RenderInputs, SceneAtlas
+
+SHADOW_BIAS = 3e-5  # reference render_shader.frag:335
+
+
+def _ortho_rasterize_depth(
+    xy: jax.Array,  # (V, 2) shadow-map pixel coords
+    z: jax.Array,  # (V,) normalized depth in [0, 1]
+    faces: jax.Array,  # (F, 3)
+    tri_on: jax.Array,  # (F,)
+    size: int,
+    chunk: int = 512,
+) -> jax.Array:
+    """Depth-only ortho rasterization -> (size, size) min-depth map (1 = far)."""
+    F = faces.shape[0]
+    p = jnp.concatenate([xy, jnp.ones_like(xy[:, :1])], -1)[faces]  # (F,3,3) homog-2d
+    zf = z[faces]  # (F, 3)
+
+    rem = (-F) % chunk
+    if rem:
+        p = jnp.pad(p, ((0, rem), (0, 0), (0, 0)))
+        zf = jnp.pad(zf, ((0, rem), (0, 0)))
+        tri_on = jnp.pad(tri_on, (0, rem), constant_values=False)
+    n_chunks = p.shape[0] // chunk
+    p = p.reshape(n_chunks, chunk, 3, 3)
+    zf = zf.reshape(n_chunks, chunk, 3)
+    tri_on = tri_on.reshape(n_chunks, chunk)
+
+    xs = jnp.arange(size, dtype=jnp.float32) + 0.5
+    ys = jnp.arange(size, dtype=jnp.float32) + 0.5
+
+    def step(best, data):
+        pc, zc, on = data
+        L0 = jnp.cross(pc[:, 1], pc[:, 2])
+        L1 = jnp.cross(pc[:, 2], pc[:, 0])
+        L2 = jnp.cross(pc[:, 0], pc[:, 1])
+        L = jnp.stack([L0, L1, L2], 1)  # (C,3,3)
+        E = (
+            L[:, :, 0, None, None] * xs[None, None, None, :]
+            + L[:, :, 1, None, None] * ys[None, None, :, None]
+            + L[:, :, 2, None, None]
+        )  # (C,3,S,S)
+        inside = jnp.all(E >= 0, axis=1) | jnp.all(E <= 0, axis=1)
+        Esum = E.sum(1)
+        bary = E / jnp.where(jnp.abs(Esum) < 1e-20, 1.0, Esum)[:, None]
+        zp = (bary * zc[:, :, None, None]).sum(1)
+        ok = inside & (jnp.abs(Esum) > 1e-20) & on[:, None, None]
+        score = jnp.where(ok, zp, 1.0)
+        return jnp.minimum(best, score.min(axis=0)), None
+
+    init = jnp.ones((size, size), jnp.float32)
+    best, _ = jax.lax.scan(step, init, (p, zf, tri_on))
+    return best
+
+
+def render_shadow_maps(atlas: SceneAtlas, inputs: RenderInputs, geom, cfg):
+    """Returns (maps (L, S, S), matrices (L, 4, 4) world->shadow-uv-z)."""
+    size = getattr(cfg, "shadow_size", 512)
+    n_lights = inputs.light_directions.shape[0]
+    caster = inputs.obj_casts_shadows & inputs.obj_visible
+    vert_on = caster[atlas.vert_obj]
+    tri_on = caster[atlas.face_obj]
+
+    world = geom.world  # (V, 3)
+    # bounding box of casters (masked)
+    big = 1e9
+    w_masked_min = jnp.where(vert_on[:, None], world, big)
+    w_masked_max = jnp.where(vert_on[:, None], world, -big)
+    lo = w_masked_min.min(axis=0)
+    hi = w_masked_max.max(axis=0)
+    center = 0.5 * (lo + hi)
+    radius = jnp.maximum(0.5 * jnp.linalg.norm(hi - lo), 1e-3)
+
+    maps = []
+    mats = []
+    for i in range(n_lights):
+        ldir = m.normalize(inputs.light_directions[i])
+        # build light frame (looking along ldir)
+        up = jnp.where(
+            jnp.abs(ldir[2]) < 0.9,
+            jnp.array([0.0, 0.0, 1.0]),
+            jnp.array([1.0, 0.0, 0.0]),
+        )
+        zax = ldir
+        xax = m.normalize(jnp.cross(up, zax))
+        yax = jnp.cross(zax, xax)
+        eye = center - zax * (2.0 * radius)
+        R = jnp.stack([xax, yax, zax], axis=1)  # light-to-world
+        world_to_light = m.invert_rigid(m.make_transform(R, eye))
+
+        wl = (
+            jnp.einsum("ij,vj->vi", world_to_light[:3, :3], world)
+            + world_to_light[:3, 3]
+        )
+        # ortho extents (z spread x5 like the reference's depth headroom)
+        ext = radius * 1.05
+        zmax = 5.0 * 2.0 * radius
+        u = (wl[:, 0] / ext * 0.5 + 0.5) * size
+        v = (wl[:, 1] / ext * 0.5 + 0.5) * size
+        z = jnp.clip(wl[:, 2] / zmax, 0.0, 1.0)
+
+        depth_map = _ortho_rasterize_depth(
+            jnp.stack([u, v], -1), z, atlas.faces, tri_on, size
+        )
+        maps.append(depth_map)
+
+        # world -> (u_pix, v_pix, z_norm) affine matrix for lookup
+        A = jnp.zeros((4, 4), jnp.float32)
+        A = A.at[0, :3].set(world_to_light[0, :3] / ext * 0.5 * size)
+        A = A.at[0, 3].set((world_to_light[0, 3] / ext * 0.5 + 0.5) * size)
+        A = A.at[1, :3].set(world_to_light[1, :3] / ext * 0.5 * size)
+        A = A.at[1, 3].set((world_to_light[1, 3] / ext * 0.5 + 0.5) * size)
+        A = A.at[2, :3].set(world_to_light[2, :3] / zmax)
+        A = A.at[2, 3].set(world_to_light[2, 3] / zmax)
+        A = A.at[3, 3].set(1.0)
+        mats.append(A)
+
+    return jnp.stack(maps), jnp.stack(mats)
+
+
+def shadow_factor(
+    shadow_maps: jax.Array,  # (L, S, S)
+    shadow_matrices: jax.Array,  # (L, 4, 4)
+    light: int,
+    world: jax.Array,  # (H, W, 3)
+) -> jax.Array:
+    """4x4 PCF average of the compare test (render_shader.frag:321-338).
+    Returns (H, W) in [0, 1]: 1 = fully lit."""
+    S = shadow_maps.shape[1]
+    A = shadow_matrices[light]
+    p = jnp.einsum("ij,hwj->hwi", A[:3, :3], world) + A[:3, 3]
+    u, v, z = p[..., 0], p[..., 1], p[..., 2]
+
+    acc = 0.0
+    for dy in (-1.5, -0.5, 0.5, 1.5):
+        for dx in (-1.5, -0.5, 0.5, 1.5):
+            ui = jnp.clip((u + dx).astype(jnp.int32), 0, S - 1)
+            vi = jnp.clip((v + dy).astype(jnp.int32), 0, S - 1)
+            stored = shadow_maps[light, vi, ui]
+            acc = acc + (z - SHADOW_BIAS <= stored).astype(jnp.float32)
+    return acc / 16.0

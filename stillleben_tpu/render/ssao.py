@@ -1,0 +1,112 @@
+"""SSAO: 64-sample view-space hemisphere occlusion + bilateral blur apply.
+
+Reference: ssao_shader.frag:13-57 (radius 0.1, bias 0.0025, 64 samples with
+4x4 tiled rotation noise) and ssao_apply_shader.frag:35-81 (depth-aware
+bilateral blur, sharpness 300, multiplied into RGB). Quality-only effect;
+ground-truth buffers are unaffected.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RADIUS = 0.1
+BIAS = 0.0025
+N_SAMPLES = 64
+SHARPNESS = 300.0
+
+
+def _make_kernel() -> np.ndarray:
+    """Hemisphere samples like learnopengl's (deterministic here)."""
+    rng = np.random.default_rng(1234)
+    samples = []
+    for i in range(N_SAMPLES):
+        v = rng.uniform([-1, -1, 0], [1, 1, 1])
+        v = v / max(np.linalg.norm(v), 1e-9)
+        v *= rng.uniform(0, 1)
+        scale = i / N_SAMPLES
+        v *= 0.1 + 0.9 * scale * scale  # bias toward center
+        samples.append(v)
+    return np.asarray(samples, np.float32)
+
+
+_KERNEL = jnp.asarray(_make_kernel())
+
+
+def _noise_rotation(H: int, W: int) -> jax.Array:
+    """4x4 tiled random rotation vectors (xy plane)."""
+    rng = np.random.default_rng(99)
+    n = rng.uniform(-1, 1, size=(4, 4, 2)).astype(np.float32)
+    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    tiled = np.tile(n, (H // 4 + 1, W // 4 + 1, 1))[:H, :W]
+    return jnp.asarray(tiled)
+
+
+def compute_ssao(
+    cam_coords: jax.Array,  # (H, W, 4) view-space position (w unused)
+    normals_cam: jax.Array,  # (H, W, 4) view-space normal in xyz
+    valid: jax.Array,  # (H, W)
+    projection: jax.Array,  # (4, 4)
+    width: int,
+    height: int,
+) -> jax.Array:
+    """(H, W) ambient occlusion in [0, 1] (1 = unoccluded)."""
+    H, W = valid.shape
+    P = cam_coords[..., :3]
+    N = normals_cam[..., :3]
+
+    noise = _noise_rotation(H, W)
+    rvec = jnp.concatenate([noise, jnp.zeros((H, W, 1))], -1)
+    T = rvec - N * (rvec * N).sum(-1, keepdims=True)
+    T = T / jnp.maximum(jnp.linalg.norm(T, axis=-1, keepdims=True), 1e-9)
+    B = jnp.cross(N, T)
+
+    depth = P[..., 2]
+    fx = projection[0, 0] * W / 2
+    fy = projection[1, 1] * H / 2
+    cx = (projection[0, 2] + 1) * W / 2
+    cy = (projection[1, 2] + 1) * H / 2
+
+    occlusion = jnp.zeros((H, W), jnp.float32)
+    for i in range(N_SAMPLES):
+        k = _KERNEL[i]
+        s = T * k[0] + B * k[1] + N * k[2]  # TBN @ k
+        sp = P + s * RADIUS  # view-space sample position
+        z = jnp.maximum(sp[..., 2], 1e-4)
+        u = jnp.clip((fx * sp[..., 0] / z + cx).astype(jnp.int32), 0, W - 1)
+        v = jnp.clip((fy * sp[..., 1] / z + cy).astype(jnp.int32), 0, H - 1)
+        sample_depth = depth[v, u]
+        sample_valid = valid[v, u]
+        range_check = jnp.clip(RADIUS / jnp.maximum(jnp.abs(depth - sample_depth), 1e-6), 0, 1)
+        occluded = (sample_depth <= sp[..., 2] - BIAS) & sample_valid
+        occlusion = occlusion + occluded.astype(jnp.float32) * range_check
+    ao = 1.0 - occlusion / N_SAMPLES
+    return jnp.where(valid, ao, 1.0)
+
+
+def bilateral_blur(ao: jax.Array, depth: jax.Array, ksize: int = 2) -> jax.Array:
+    """Depth-aware box blur (reference ssao_apply_shader.frag:35-81)."""
+    H, W = ao.shape
+    acc = jnp.zeros_like(ao)
+    wacc = jnp.zeros_like(ao)
+    for dy in range(-ksize, ksize + 1):
+        for dx in range(-ksize, ksize + 1):
+            shifted_ao = jnp.roll(ao, (dy, dx), axis=(0, 1))
+            shifted_d = jnp.roll(depth, (dy, dx), axis=(0, 1))
+            w = jnp.exp(-SHARPNESS * jnp.abs(shifted_d - depth))
+            acc = acc + shifted_ao * w
+            wacc = wacc + w
+    return acc / jnp.maximum(wacc, 1e-9)
+
+
+def ssao_apply(hdr, cam_coordinates, normals, valid, projection):
+    """Compute AO from the G-buffer and multiply into RGB. Uses the
+    cam-space normal stored in the normals GT buffer."""
+    H, W = valid.shape
+    ao = compute_ssao(cam_coordinates, normals, valid, projection, W, H)
+    depth = cam_coordinates[..., 2]
+    ao = bilateral_blur(ao, jnp.where(valid, depth, 0.0))
+    rgb = hdr[..., :3] * ao[..., None]
+    return jnp.concatenate([rgb, hdr[..., 3:]], -1)
