@@ -1,0 +1,223 @@
+"""Batched datagen: vmap over scenes, shard_map/pjit over chips.
+
+The reference's only batching facility is a thread pool running one PhysX
+scene per thread (JobQueue, src/job_queue.cpp:30-144). Here the scene axis
+is a tensor axis: one scene template (shared geometry atlases), N scenes =
+N random keys, `vmap` for the batch, `jax.sharding` over a device mesh for
+scale-out — collectives ride ICI; no NCCL/MPI analogue is needed because the
+arrays are already distributed.
+
+Pipeline per scene (all in ONE XLA program):
+  key -> stack objects (random quats) -> settle (100x4 substeps, redrop)
+      -> random camera fit -> random light -> render -> full GT buffers
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..physics import tabletop as tt
+from ..physics.contacts import Floor
+from ..physics.types import BodyParams, HullAtlas, SolverConfig
+from ..render.atlas import RenderInputs, SceneAtlas
+from ..render.frame import FrameConfig, RenderedFrame, render_frame_core
+from ..scene.camera_fit import choose_random_camera_pose, choose_random_light_direction
+
+
+class SceneTemplate(NamedTuple):
+    """Everything static shared by all scenes in a batch."""
+
+    hull_atlas: HullAtlas
+    body_params: BodyParams
+    pairs: jax.Array
+    tabletop_geom: tt.TabletopGeom
+    floor: Floor
+    render_atlas: SceneAtlas
+    base_inputs: RenderInputs  # camera/lights/materials template
+    bbox_corners: jax.Array  # (NB, 8, 3) mesh-frame bbox corners (pretransformed)
+    base_z: jax.Array  # scalar
+
+
+def template_from_scene(scene) -> SceneTemplate:
+    """Build a SceneTemplate from a host Scene (objects already added)."""
+    import numpy as np
+
+    from ..render.atlas import build_scene_atlas, render_inputs_from_scene
+
+    atlas, params, pairs, geom = scene._compile()
+    floor = scene._default_floor(enabled=all(not o.static for o in scene.objects))
+    render_atlas = build_scene_atlas(scene.objects)
+    base_inputs = render_inputs_from_scene(scene, render_atlas)
+
+    corners = np.zeros((max(len(scene.objects), 1), 8, 3), np.float32)
+    for i, o in enumerate(scene.objects):
+        corners[i] = o.mesh.bbox.corners()
+    base_z = tt.FLOOR_TOP_Z if all(not o.static for o in scene.objects) else tt.STACK_BASE_STATIC
+    return SceneTemplate(
+        hull_atlas=atlas,
+        body_params=params,
+        pairs=pairs,
+        tabletop_geom=geom,
+        floor=floor,
+        render_atlas=render_atlas,
+        base_inputs=base_inputs,
+        bbox_corners=jnp.asarray(corners),
+        base_z=jnp.float32(base_z),
+    )
+
+
+def generate_one(
+    key: jax.Array,
+    tpl: SceneTemplate,
+    cfg: FrameConfig,
+    solver_cfg: SolverConfig,
+    settle_iterations: int = tt.MAX_ITERATIONS,
+) -> RenderedFrame:
+    """One scene: settle + camera + light + render (jit/vmap-able)."""
+    k_stack, k_cam, k_light = jax.random.split(key, 3)
+
+    state = tt.stack_objects(k_stack, tpl.tabletop_geom, tpl.base_z)
+    state = tt.settle(
+        tpl.hull_atlas, tpl.body_params, state, tpl.floor, tpl.pairs,
+        tpl.tabletop_geom, solver_cfg, iterations=settle_iterations,
+    )
+
+    poses = state.pose_matrix()  # (NB_phys, 4, 4)
+    nb_render = tpl.base_inputs.obj_to_world.shape[0]
+    obj_to_world = tpl.base_inputs.obj_to_world.at[: poses.shape[0]].set(
+        poses[:nb_render]
+    )
+
+    # camera fit over settled bbox corners (world space)
+    n_phys = tpl.bbox_corners.shape[0]
+    world_corners = (
+        jnp.einsum(
+            "bij,bcj->bci", obj_to_world[:n_phys, :3, :3], tpl.bbox_corners
+        )
+        + obj_to_world[:n_phys, None, :3, 3]
+    ).reshape(-1, 3)
+    valid = jnp.ones(world_corners.shape[0], bool)
+    cam_pose = choose_random_camera_pose(
+        k_cam, tpl.base_inputs.projection, world_corners, valid
+    )
+    light_dir = choose_random_light_direction(k_light, cam_pose)
+    light_dirs = tpl.base_inputs.light_directions.at[0].set(light_dir)
+
+    inputs = tpl.base_inputs._replace(
+        obj_to_world=obj_to_world,
+        cam_pose=cam_pose,
+        light_directions=light_dirs,
+    )
+    return render_frame_core(tpl.render_atlas, inputs, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg", "solver_cfg", "settle_iterations"))
+def generate_batch(
+    keys: jax.Array,  # (B, 2) PRNG keys
+    tpl: SceneTemplate,
+    cfg: FrameConfig,
+    solver_cfg: SolverConfig,
+    settle_iterations: int = tt.MAX_ITERATIONS,
+) -> RenderedFrame:
+    """vmap over the scene axis; shard `keys` over a device mesh to scale out
+    (outputs inherit the sharding — each chip keeps its own scenes)."""
+    return jax.vmap(
+        lambda k: generate_one(k, tpl, cfg, solver_cfg, settle_iterations)
+    )(keys)
+
+
+def settle_scene(
+    key: jax.Array,
+    tpl: SceneTemplate,
+    solver_cfg: SolverConfig,
+    settle_iterations: int = tt.MAX_ITERATIONS,
+):
+    """Settle only: returns (poses (NB,4,4), cam_pose (4,4), light_dir (3,))."""
+    k_stack, k_cam, k_light = jax.random.split(key, 3)
+    state = tt.stack_objects(k_stack, tpl.tabletop_geom, tpl.base_z)
+    state = tt.settle(
+        tpl.hull_atlas, tpl.body_params, state, tpl.floor, tpl.pairs,
+        tpl.tabletop_geom, solver_cfg, iterations=settle_iterations,
+    )
+    poses = state.pose_matrix()
+    n_phys = tpl.bbox_corners.shape[0]
+    world_corners = (
+        jnp.einsum("bij,bcj->bci", poses[:n_phys, :3, :3], tpl.bbox_corners)
+        + poses[:n_phys, None, :3, 3]
+    ).reshape(-1, 3)
+    cam_pose = choose_random_camera_pose(
+        k_cam, tpl.base_inputs.projection,
+        world_corners, jnp.ones(world_corners.shape[0], bool),
+    )
+    light_dir = choose_random_light_direction(k_light, cam_pose)
+    return poses, cam_pose, light_dir
+
+
+def render_with_poses(
+    tpl: SceneTemplate,
+    poses: jax.Array,  # (NB_phys, 4, 4) — differentiable input
+    cam_pose: jax.Array,
+    cfg: FrameConfig,
+    light_dir: jax.Array | None = None,
+) -> RenderedFrame:
+    """Render the template at the given poses — the differentiable hook for
+    render-and-compare pose refinement (gradients flow pose -> image)."""
+    nb_render = tpl.base_inputs.obj_to_world.shape[0]
+    obj_to_world = tpl.base_inputs.obj_to_world.at[: poses.shape[0]].set(
+        poses[:nb_render]
+    )
+    inputs = tpl.base_inputs._replace(obj_to_world=obj_to_world, cam_pose=cam_pose)
+    if light_dir is not None:
+        inputs = inputs._replace(
+            light_directions=inputs.light_directions.at[0].set(light_dir)
+        )
+    return render_frame_core(tpl.render_atlas, inputs, cfg)
+
+
+def apply_pose_delta_matrix(pose: jax.Array, delta: jax.Array) -> jax.Array:
+    """pose @ (I + [delta]) with so(3)+translation generators — the batched
+    local linearization used by the reference's diff module
+    (python/stillleben/diff.py:525-590)."""
+    a, b, g, x, y, z = (delta[..., i] for i in range(6))
+    zeros = jnp.zeros_like(a)
+    D = jnp.stack(
+        [
+            jnp.stack([zeros, -g, b, x], -1),
+            jnp.stack([g, zeros, -a, y], -1),
+            jnp.stack([-b, a, zeros, z], -1),
+            jnp.stack([zeros, zeros, zeros, zeros], -1),
+        ],
+        -2,
+    )
+    return pose @ (jnp.eye(4, dtype=pose.dtype) + D)
+
+
+def make_device_mesh(axis: str = "scenes"):
+    """1-D device mesh over all available devices."""
+    import numpy as np
+
+    devices = np.array(jax.devices())
+    return jax.sharding.Mesh(devices, (axis,))
+
+
+def generate_batch_sharded(
+    keys: jax.Array,
+    tpl: SceneTemplate,
+    cfg: FrameConfig,
+    solver_cfg: SolverConfig,
+    mesh: "jax.sharding.Mesh | None" = None,
+    settle_iterations: int = tt.MAX_ITERATIONS,
+) -> RenderedFrame:
+    """Scale-out entry: scene batch sharded over the mesh's first axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if mesh is None:
+        mesh = make_device_mesh()
+    axis = mesh.axis_names[0]
+    keys = jax.device_put(keys, NamedSharding(mesh, P(axis)))
+    return generate_batch(keys, tpl, cfg, solver_cfg, settle_iterations)

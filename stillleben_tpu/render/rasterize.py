@@ -227,4 +227,10 @@ def rasterize(
     (depth, tri_id, bary, front), _ = jax.lax.scan(
         chunk_step, init, (v, tri_visible, base_indices)
     )
-    return GBuffer(tri_id=tri_id, depth=depth, bary=bary, front_facing=front)
+    # Hard visibility is non-differentiable by design: gradients reach
+    # geometry through the shading stage's differentiable barycentric
+    # recomputation instead (see module docstring). stop_gradient here keeps
+    # the backward graph free of the rasterization scan entirely.
+    return jax.lax.stop_gradient(
+        GBuffer(tri_id=tri_id, depth=depth, bary=bary, front_facing=front)
+    )
