@@ -70,7 +70,11 @@ def main():
     # chunk sized so the rasterizer's per-chunk edge tensor stays ~1 GB
     # across the vmapped batch: B x C x 3 x H x W x 4B
     chunk = int(os.environ.get("BENCH_CHUNK", "64"))
-    cfg = FrameConfig(width=WIDTH, height=HEIGHT, shading="pbr", ssao=False, chunk=chunk)
+    # the datagen pipeline drives exactly one directional light (slot 0)
+    cfg = FrameConfig(
+        width=WIDTH, height=HEIGHT, shading="pbr", ssao=False, chunk=chunk,
+        max_lights=1,
+    )
     solver_cfg = default_config()
 
     keys = jax.random.split(jax.random.PRNGKey(42), BATCH)

@@ -26,7 +26,12 @@ class FrameConfig(NamedTuple):
     ssao: bool = True
     near: float = 0.1
     far: float = 10.0
-    chunk: int = 256
+    chunk: int = 256  # brute-force path triangle chunk
+    tiled: bool = True  # tile-binned rasterizer (fast path)
+    tile_capacity: int = 256  # max triangles per 16x16 tile
+    big_capacity: int = 64  # max "oversized" triangles per frame
+    shadow_size: int = 512
+    max_lights: int = 3  # STATIC cap on shaded/shadowed light slots
 
 
 class RenderedFrame(NamedTuple):
@@ -64,17 +69,28 @@ def render_frame_core(
             atlas, inputs, geom, cfg
         )
 
-    gbuf = rasterize(
-        geom, atlas, inputs, W, H,
-        near=cfg.near, far=cfg.far, chunk=cfg.chunk,
-        min_depth=depth_peel_depth,
-    )
+    if cfg.tiled:
+        from .rasterize_tiled import rasterize_tiled
+
+        gbuf = rasterize_tiled(
+            geom, atlas, inputs, W, H,
+            near=cfg.near, far=cfg.far,
+            tile_capacity=cfg.tile_capacity, big_capacity=cfg.big_capacity,
+            min_depth=depth_peel_depth,
+        )
+    else:
+        gbuf = rasterize(
+            geom, atlas, inputs, W, H,
+            near=cfg.near, far=cfg.far, chunk=cfg.chunk,
+            min_depth=depth_peel_depth,
+        )
     out = shade(
         atlas, inputs, geom, gbuf,
         shading=cfg.shading,
         light_map=light_map,
         shadow_maps=shadow_maps,
         shadow_matrices=shadow_matrices,
+        max_lights=cfg.max_lights,
     )
 
     # SSAO (multiplies object RGB, reference render_pass.cpp:662-694)

@@ -1,0 +1,402 @@
+"""Tile-binned rasterizer: sort triangles into screen tiles, then rasterize
+each tile against only its own triangle list.
+
+This is the TPU-native answer to the hardware rasterizer's binning: instead
+of testing every pixel against every triangle (O(W*H*F), see rasterize.py),
+triangles are binned by size class with a single argsort of (bin, depth)
+keys — XLA-friendly, static shapes:
+
+- "tiny" triangles (pixel bbox within a 4x4-pixel window — the bulk of dense
+  scanned meshes) are z-buffered EXACTLY per pixel: the center-coverage test
+  for all F x 16 (tri, pixel) pairs is evaluated up front, covering pairs are
+  sorted by (pixel, depth), and the winner is the first entry per pixel.
+- "medium" triangles (<= 4x4 tile span) go through per-tile lists with a
+  depth-sorted capacity (overflow drops the FARTHEST triangles — the right
+  failure mode for a z-buffer; their >= window-size area bounds the count).
+- "big" triangles (incl. any with a vertex behind the camera, e.g. the 30x30
+  tabletop plane) go to a small global list appended to every tile.
+
+The fine stage is laid out for the MXU/VPU: edge functions are computed as
+batched (C*3, 3) x (3, TILE^2) matmuls with the pixel axis last and
+128-aligned; barycentrics are recomputed only for the winning triangle per
+pixel. Output and semantics are identical to rasterize.rasterize (same
+homogeneous edge functions / perspective-correct barycentrics / facing rule);
+tests assert pixel agreement between the two paths.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .atlas import RenderInputs, SceneAtlas
+from .rasterize import GBuffer, GeometryBuffers
+
+TILE = 16
+PIX = TILE * TILE  # 256: last-axis size, 2x128 lanes
+SPAN_TILES = 4
+MAX_SPAN = SPAN_TILES * SPAN_TILES
+PIXEL_WINDOW = 4  # tiny-class bbox limit in pixels
+
+
+def _edge_lines(v):
+    """(..., 3verts, 3coords) -> (..., 3edges, 3coefs)."""
+    L0 = jnp.cross(v[..., 1, :], v[..., 2, :])
+    L1 = jnp.cross(v[..., 2, :], v[..., 0, :])
+    L2 = jnp.cross(v[..., 0, :], v[..., 1, :])
+    return jnp.stack([L0, L1, L2], axis=-2)
+
+
+def rasterize_vertices(
+    v: jax.Array,  # (F, 3, 3) homogeneous vertex coords (u*w, v*w, w)
+    depth_attr: jax.Array,  # (F, 3) per-vertex depth to interpolate & test
+    tri_active: jax.Array,  # (F,) bool
+    width: int,
+    height: int,
+    near: float,
+    far: float,
+    tile_capacity: int,
+    big_capacity: int,
+    fine_chunk: int,
+    min_depth: jax.Array | None,
+    pixel_stage: bool = True,
+):
+    """Core binned z-buffer. Returns (depth, tri_id, front) images; callers
+    recompute barycentrics for the winners (differentiably, in shading).
+
+    For perspective rendering depth_attr = w (camera z). For ortho passes
+    (shadow maps) pass w == 1 per vertex and the light-space z as depth_attr.
+    """
+    F = v.shape[0]
+    tw = -(-width // TILE)
+    th = -(-height // TILE)
+    n_tiles = tw * th
+
+    w = v[..., 2]
+    all_front = jnp.all(w > 1e-6, axis=-1)
+    safe_w = jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
+    u_px = v[..., 0] / safe_w
+    v_px = v[..., 1] / safe_w
+
+    x0 = jnp.clip(jnp.floor(u_px.min(-1)), 0, width - 1)
+    x1 = jnp.clip(jnp.ceil(u_px.max(-1)), 0, width - 1)
+    y0 = jnp.clip(jnp.floor(v_px.min(-1)), 0, height - 1)
+    y1 = jnp.clip(jnp.ceil(v_px.max(-1)), 0, height - 1)
+    on_screen = (
+        (u_px.max(-1) >= 0)
+        & (u_px.min(-1) < width)
+        & (v_px.max(-1) >= 0)
+        & (v_px.min(-1) < height)
+    )
+    zmin = depth_attr.min(-1)
+    zmax = depth_attr.max(-1)
+    in_range = (zmax > near) & (zmin <= far)
+
+    active = tri_active & (zmax > near)
+    degenerate = all_front & (~on_screen | ~in_range)
+    active = active & ~degenerate
+
+    px_span_x = (x1.astype(jnp.int32) - x0.astype(jnp.int32)) + 1
+    px_span_y = (y1.astype(jnp.int32) - y0.astype(jnp.int32)) + 1
+    if pixel_stage:
+        tiny = (
+            active
+            & all_front
+            & (px_span_x <= PIXEL_WINDOW)
+            & (px_span_y <= PIXEL_WINDOW)
+        )
+    else:
+        # low-poly scenes: per-pixel sorting costs more than it saves;
+        # everything goes through the tile lists
+        tiny = jnp.zeros_like(active)
+
+    tx0 = (x0 / TILE).astype(jnp.int32)
+    tx1 = (x1 / TILE).astype(jnp.int32)
+    ty0 = (y0 / TILE).astype(jnp.int32)
+    ty1 = (y1 / TILE).astype(jnp.int32)
+    span_x = tx1 - tx0 + 1
+    span_y = ty1 - ty0 + 1
+    small = active & all_front & ~tiny & (span_x <= SPAN_TILES) & (span_y <= SPAN_TILES)
+    big = active & ~small & ~tiny
+
+    # ---- tile pair list for medium triangles --------------------------------
+    s = jnp.arange(MAX_SPAN, dtype=jnp.int32)
+    sx = s % SPAN_TILES
+    sy = s // SPAN_TILES
+    pair_tx = tx0[:, None] + sx[None, :]
+    pair_ty = ty0[:, None] + sy[None, :]
+    pair_ok = (
+        small[:, None]
+        & (sx[None, :] < span_x[:, None])
+        & (sy[None, :] < span_y[:, None])
+    )
+    pair_tile = pair_ty * tw + pair_tx
+
+    znorm = jnp.clip(zmin / far, 0.0, 1.0) * 0.999
+    key = jnp.where(
+        pair_ok,
+        pair_tile.astype(jnp.float32) + znorm[:, None],
+        jnp.float32(n_tiles + 2),
+    ).reshape(-1)
+    pair_tri = jnp.broadcast_to(
+        jnp.arange(F, dtype=jnp.int32)[:, None], (F, MAX_SPAN)
+    ).reshape(-1)
+
+    order = jnp.argsort(key)
+    sorted_key = key[order]
+    sorted_tri = pair_tri[order]
+    sorted_tile = jnp.floor(sorted_key).astype(jnp.int32)
+
+    starts = jnp.searchsorted(sorted_key, jnp.arange(n_tiles, dtype=jnp.float32))
+    offs = jnp.arange(tile_capacity, dtype=jnp.int32)
+    gi = jnp.clip(starts[:, None] + offs[None, :], 0, sorted_tri.shape[0] - 1)
+    tile_tris = sorted_tri[gi]
+    tile_ok = sorted_tile[gi] == jnp.arange(n_tiles, dtype=jnp.int32)[:, None]
+
+    # ---- big-triangle global list --------------------------------------------
+    big_rank = jnp.cumsum(big.astype(jnp.int32)) - 1
+    big_src = jnp.where(big & (big_rank < big_capacity), big_rank, big_capacity)
+    big_ids = (
+        jnp.zeros((big_capacity + 1,), jnp.int32)
+        .at[big_src]
+        .set(jnp.arange(F, dtype=jnp.int32), mode="drop")[:big_capacity]
+    )
+    big_ok = (
+        jnp.zeros((big_capacity + 1,), bool).at[big_src].set(big, mode="drop")[
+            :big_capacity
+        ]
+    )
+
+    tile_tris = jnp.concatenate(
+        [tile_tris, jnp.broadcast_to(big_ids[None], (n_tiles, big_capacity))], axis=1
+    )
+    tile_ok = jnp.concatenate(
+        [tile_ok, jnp.broadcast_to(big_ok[None], (n_tiles, big_capacity))], axis=1
+    )
+    K = tile_tris.shape[1]
+
+    # ---- fine stage -----------------------------------------------------------
+    pad_w = tw * TILE
+    pad_h = th * TILE
+    if min_depth is None:
+        md = jnp.zeros((pad_h, pad_w), jnp.float32)
+    else:
+        md = jnp.pad(min_depth, ((0, pad_h - height), (0, pad_w - width)))
+    md_tiles = (
+        md.reshape(th, TILE, tw, TILE).transpose(0, 2, 1, 3).reshape(n_tiles, PIX)
+    )
+
+    # per-tile pixel matrix P: (n_tiles, 3, PIX) rows = (x, y, 1)
+    txy = jnp.arange(n_tiles, dtype=jnp.int32)
+    tile_ox = (txy % tw * TILE).astype(jnp.float32)
+    tile_oy = (txy // tw * TILE).astype(jnp.float32)
+    l = jnp.arange(TILE, dtype=jnp.float32) + 0.5
+    pxx = tile_ox[:, None] + jnp.tile(l, TILE)[None, :]  # (n_tiles, PIX)
+    pyy = tile_oy[:, None] + jnp.repeat(l, TILE)[None, :]
+    Pmat = jnp.stack([pxx, pyy, jnp.ones_like(pxx)], axis=1)  # (n_tiles, 3, PIX)
+
+    # precompute per-triangle edge lines and the depth-weighted line:
+    # wp(p) = (sum_k E_k(p) * z_k) / (sum_k E_k(p))
+    Lf = _edge_lines(v)  # (F, 3, 3)
+    Lsum = Lf.sum(axis=1)  # (F, 3): coefficients of sum_k E_k
+    Lz = (Lf * depth_attr[:, :, None]).sum(axis=1)  # (F, 3)
+
+    n_chunks = -(-K // fine_chunk)
+    pad_k = n_chunks * fine_chunk - K
+    tile_tris_c = (
+        jnp.pad(tile_tris, ((0, 0), (0, pad_k)))
+        .reshape(n_tiles, n_chunks, fine_chunk)
+        .transpose(1, 0, 2)
+    )
+    tile_ok_c = (
+        jnp.pad(tile_ok, ((0, 0), (0, pad_k)))
+        .reshape(n_tiles, n_chunks, fine_chunk)
+        .transpose(1, 0, 2)
+    )
+
+    inf = jnp.float32(jnp.inf)
+    init = (
+        jnp.full((n_tiles, PIX), inf, jnp.float32),
+        jnp.full((n_tiles, PIX), -1, jnp.int32),
+    )
+
+    def chunk_step(carry, data):
+        best_w, best_tri = carry
+        tri_ids, ok = data  # (n_tiles, C)
+        C = tri_ids.shape[1]
+        # gather per-tile line coefficients: (n_tiles, C, 3) each
+        L = Lf[tri_ids]  # (n_tiles, C, 3, 3)
+        A = jnp.concatenate(
+            [L.reshape(n_tiles, C * 3, 3), Lsum[tri_ids], Lz[tri_ids]], axis=1
+        )  # (n_tiles, C*3 + 2C, 3)
+        R = jnp.einsum(
+            "nkj,njp->nkp", A, Pmat, preferred_element_type=jnp.float32
+        )  # (n_tiles, C*5, PIX)
+        E = R[:, : C * 3].reshape(n_tiles, C, 3, PIX)
+        Esum = R[:, C * 3 : C * 4]  # (n_tiles, C, PIX)
+        Ez = R[:, C * 4 :]
+
+        inside = jnp.all(E >= 0, axis=2) | jnp.all(E <= 0, axis=2)
+        denom = jnp.where(jnp.abs(Esum) < 1e-20, 1.0, Esum)
+        wp = Ez / denom  # (n_tiles, C, PIX)
+
+        okc = (
+            inside
+            & ok[..., None]
+            & (jnp.abs(Esum) > 1e-20)
+            & (wp > near)
+            & (wp <= far)
+            & (wp > md_tiles[:, None] + 1e-5)
+        )
+        score = jnp.where(okc, wp, inf)
+        ci = jnp.argmin(score, axis=1)  # (n_tiles, PIX)
+        cw = jnp.take_along_axis(score, ci[:, None], axis=1)[:, 0]
+        ctri = jnp.take_along_axis(tri_ids, ci, axis=1)
+
+        better = cw < best_w
+        best_tri = jnp.where(better, ctri, best_tri)
+        best_w = jnp.where(better, cw, best_w)
+        return (best_w, best_tri), None
+
+    (depth_t, tri_t), _ = jax.lax.scan(chunk_step, init, (tile_tris_c, tile_ok_c))
+
+    def untile(x):
+        return (
+            x.reshape(th, tw, TILE, TILE)
+            .transpose(0, 2, 1, 3)
+            .reshape(pad_h, pad_w)[:height, :width]
+        )
+
+    depth_img = untile(depth_t)
+    tri_img = untile(tri_t)
+
+    # ---- exact per-pixel stage for tiny triangles -----------------------------
+    if pixel_stage:
+        depth_img, tri_img = _pixel_stage(
+            v, Lf, depth_attr, tiny, x0, y0, width, height, near, far,
+            min_depth
+            if min_depth is not None
+            else jnp.zeros((height, width), jnp.float32),
+            depth_img, tri_img,
+        )
+    return depth_img, tri_img
+
+
+def _pixel_stage(
+    v, Lf, depth_attr, tiny, x0, y0, width, height, near, far, min_depth,
+    depth_img, tri_img,
+):
+    """Exact z-buffer over the tiny class: evaluate center coverage for all
+    F x W^2 (tri, pixel) pairs, sort covering pairs by (pixel, depth), take
+    the first per pixel."""
+    F = v.shape[0]
+    n_px = width * height
+    n_win = PIXEL_WINDOW * PIXEL_WINDOW
+
+    win = jnp.arange(n_win, dtype=jnp.int32)
+    dx = win % PIXEL_WINDOW
+    dy = win // PIXEL_WINDOW
+    px = x0.astype(jnp.int32)[:, None] + dx[None, :]
+    py = y0.astype(jnp.int32)[:, None] + dy[None, :]
+    in_image = (px < width) & (py < height)
+    pix_id = py * width + px  # (F, n_win)
+
+    cx = px.astype(jnp.float32) + 0.5
+    cy = py.astype(jnp.float32) + 0.5
+    E = (
+        Lf[:, None, :, 0] * cx[:, :, None]
+        + Lf[:, None, :, 1] * cy[:, :, None]
+        + Lf[:, None, :, 2]
+    )  # (F, n_win, 3)
+    inside = jnp.all(E >= 0, axis=-1) | jnp.all(E <= 0, axis=-1)
+    Esum = E.sum(-1)
+    denom = jnp.where(jnp.abs(Esum) < 1e-20, 1.0, Esum)
+    wp = (E * depth_attr[:, None, :]).sum(-1) / denom  # (F, n_win)
+
+    md = min_depth.reshape(-1)
+    md_pair = md[jnp.clip(pix_id, 0, n_px - 1)]
+    covers = (
+        tiny[:, None]
+        & in_image
+        & inside
+        & (jnp.abs(Esum) > 1e-20)
+        & (wp > near)
+        & (wp <= far)
+        & (wp > md_pair + 1e-5)
+    )
+
+    zn = jnp.clip(wp / far, 0.0, 1.0) * 0.999
+    key = jnp.where(
+        covers, pix_id.astype(jnp.float32) + zn, jnp.float32(n_px + 2)
+    ).reshape(-1)
+    order = jnp.argsort(key)
+    sorted_key = key[order]
+    starts = jnp.clip(
+        jnp.searchsorted(sorted_key, jnp.arange(n_px, dtype=jnp.float32)),
+        0,
+        key.shape[0] - 1,
+    )
+    first = order[starts]
+    hit = jnp.floor(sorted_key[starts]).astype(jnp.int32) == jnp.arange(
+        n_px, dtype=jnp.int32
+    )
+
+    cw = jnp.where(hit, wp.reshape(-1)[first], jnp.inf).reshape(height, width)
+    ctri = (first // n_win).astype(jnp.int32).reshape(height, width)
+
+    better = cw < depth_img
+    return (
+        jnp.where(better, cw, depth_img),
+        jnp.where(better, ctri, tri_img),
+    )
+
+
+def _winner_attributes(v, depth_img, tri_img, width, height):
+    """Recompute bary + facing for the winning triangle per pixel."""
+    tri = jnp.maximum(tri_img, 0)
+    vv = v[tri]  # (H, W, 3, 3)
+    L = _edge_lines(vv)  # (H, W, 3, 3)
+    xs = jnp.arange(width, dtype=jnp.float32) + 0.5
+    ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+    E = (
+        L[..., 0] * xs[None, :, None]
+        + L[..., 1] * ys[:, None, None]
+        + L[..., 2]
+    )  # (H, W, 3)
+    Esum = E.sum(-1)
+    denom = jnp.where(jnp.abs(Esum) < 1e-20, 1.0, Esum)
+    bary = E / denom[..., None]
+    front = Esum < 0
+    valid = tri_img >= 0
+    return jnp.where(valid[..., None], bary, 0.0), front & valid
+
+
+def rasterize_tiled(
+    geom: GeometryBuffers,
+    atlas: SceneAtlas,
+    inputs: RenderInputs,
+    width: int,
+    height: int,
+    near: float = 0.1,
+    far: float = 10.0,
+    tile_capacity: int = 256,
+    big_capacity: int = 64,
+    fine_chunk: int = 64,
+    min_depth: jax.Array | None = None,
+    pixel_stage: bool | None = None,
+) -> GBuffer:
+    faces = atlas.faces
+    v = geom.pix_hom[faces]  # (F, 3, 3)
+    visible = inputs.obj_visible[atlas.face_obj]
+
+    if pixel_stage is None:
+        # worth its sorting cost only for dense meshes (many sub-pixel tris)
+        pixel_stage = faces.shape[0] > 20_000
+    depth_img, tri_img = rasterize_vertices(
+        v, v[..., 2], visible, width, height, near, far,
+        tile_capacity, big_capacity, fine_chunk, min_depth, pixel_stage,
+    )
+    bary, front = _winner_attributes(v, depth_img, tri_img, width, height)
+    return jax.lax.stop_gradient(
+        GBuffer(tri_id=tri_img, depth=depth_img, bary=bary, front_facing=front)
+    )

@@ -143,11 +143,19 @@ class RenderPass:
             )
 
         W, H = scene.viewport
+        # tile capacity scales with triangle density: dense scanned meshes
+        # (e.g. the 69k-triangle bunny) have many sub-pixel triangles per
+        # 16x16 tile; the binned list must hold several triangles per pixel
+        n_faces = int(atlas.faces.shape[0])
+        n_tiles = max((W // 16) * (H // 16), 1)
+        density = n_faces * 8 // n_tiles
+        tile_capacity = int(min(2048, max(256, 1 << (max(density, 1) - 1).bit_length())))
         cfg = FrameConfig(
             width=W,
             height=H,
             shading=self._shading,
             ssao=self.ssao_enabled,
+            tile_capacity=tile_capacity,
         )
 
         bg_image = None

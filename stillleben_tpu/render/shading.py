@@ -103,6 +103,7 @@ def shade(
     light_map=None,
     shadow_maps=None,
     shadow_matrices=None,
+    max_lights: int = 3,
 ) -> FrameOutputs:
     H, W = gbuf.tri_id.shape
     valid = gbuf.tri_id >= 0
@@ -209,41 +210,46 @@ def shade(
         Fr = jnp.maximum(1.0 - roughness[..., None], F0) - F0
         k_S = F0 + Fr * (1.0 - NoV[..., None]) ** 5
 
-        n_lights = inputs.light_directions.shape[0]
+        n_lights = min(inputs.light_directions.shape[0], max_lights)
         for i in range(n_lights):
             light_color = inputs.light_colors[i]
             light_dir = inputs.light_directions[i]
             light_on = (jnp.any(light_color != 0)) & (jnp.any(light_dir != 0))
 
-            Ldir = m.normalize(-light_dir)
-            Hv = m.normalize(V + Ldir)
-            NdotL = jnp.maximum((normal * Ldir).sum(-1), 0.0)
-            NdotH = jnp.maximum((normal * Hv).sum(-1), 0.0)
+            def _light_contrib(i=i, light_color=light_color, light_dir=light_dir):
+                Ldir = m.normalize(-light_dir)
+                Hv = m.normalize(V + Ldir)
+                NdotL = jnp.maximum((normal * Ldir).sum(-1), 0.0)
+                NdotH = jnp.maximum((normal * Hv).sum(-1), 0.0)
 
-            NDF = _ggx_distribution(NdotH, roughness)
-            G = _geometry_smith(NoV, NdotL, roughness)
-            Fs = k_S
-            spec = (NDF * G)[..., None] * Fs / jnp.maximum(
-                4.0 * NoV * NdotL, 1e-3
-            )[..., None]
-            kD = (1.0 - Fs) * (1.0 - metallic[..., None])
+                NDF = _ggx_distribution(NdotH, roughness)
+                G = _geometry_smith(NoV, NdotL, roughness)
+                Fs = k_S
+                spec = (NDF * G)[..., None] * Fs / jnp.maximum(
+                    4.0 * NoV * NdotL, 1e-3
+                )[..., None]
+                kD = (1.0 - Fs) * (1.0 - metallic[..., None])
 
-            if shadow_maps is not None and shadow_matrices is not None:
-                from .shadow import shadow_factor
+                if shadow_maps is not None and shadow_matrices is not None:
+                    from .shadow import shadow_factor
 
-                inv_shadow = shadow_factor(shadow_maps, shadow_matrices, i, world)
-            else:
-                inv_shadow = 1.0
+                    inv_shadow = shadow_factor(
+                        shadow_maps, shadow_matrices, i, world
+                    )[..., None]
+                else:
+                    inv_shadow = 1.0
 
-            if not isinstance(inv_shadow, float):
-                inv_shadow = inv_shadow[..., None]
-            contrib = (
-                inv_shadow
-                * (kD * base_color[..., :3] / jnp.pi + spec)
-                * light_color
-                * NdotL[..., None]
+                return (
+                    inv_shadow
+                    * (kD * base_color[..., :3] / jnp.pi + spec)
+                    * light_color
+                    * NdotL[..., None]
+                )
+
+            # lax.cond: disabled light slots cost nothing at runtime
+            color = color + jax.lax.cond(
+                light_on, _light_contrib, lambda: jnp.zeros((H, W, 3), jnp.float32)
             )
-            color = color + jnp.where(light_on, contrib, 0.0)
 
         color = color + inputs.ambient_light * base_color[..., :3]
 

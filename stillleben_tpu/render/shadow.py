@@ -26,54 +26,30 @@ def _ortho_rasterize_depth(
     faces: jax.Array,  # (F, 3)
     tri_on: jax.Array,  # (F,)
     size: int,
-    chunk: int = 512,
 ) -> jax.Array:
-    """Depth-only ortho rasterization -> (size, size) min-depth map (1 = far)."""
-    F = faces.shape[0]
-    p = jnp.concatenate([xy, jnp.ones_like(xy[:, :1])], -1)[faces]  # (F,3,3) homog-2d
+    """Depth-only ortho rasterization -> (size, size) min-depth map (1 = far).
+
+    Reuses the binned rasterizer core with homogeneous w == 1 (ortho) and the
+    light-space depth as the interpolated attribute."""
+    from .rasterize_tiled import rasterize_vertices
+
+    p = jnp.concatenate([xy, jnp.ones_like(xy[:, :1])], -1)[faces]  # (F,3,3)
     zf = z[faces]  # (F, 3)
-
-    rem = (-F) % chunk
-    if rem:
-        p = jnp.pad(p, ((0, rem), (0, 0), (0, 0)))
-        zf = jnp.pad(zf, ((0, rem), (0, 0)))
-        tri_on = jnp.pad(tri_on, (0, rem), constant_values=False)
-    n_chunks = p.shape[0] // chunk
-    p = p.reshape(n_chunks, chunk, 3, 3)
-    zf = zf.reshape(n_chunks, chunk, 3)
-    tri_on = tri_on.reshape(n_chunks, chunk)
-
-    xs = jnp.arange(size, dtype=jnp.float32) + 0.5
-    ys = jnp.arange(size, dtype=jnp.float32) + 0.5
-
-    def step(best, data):
-        pc, zc, on = data
-        L0 = jnp.cross(pc[:, 1], pc[:, 2])
-        L1 = jnp.cross(pc[:, 2], pc[:, 0])
-        L2 = jnp.cross(pc[:, 0], pc[:, 1])
-        L = jnp.stack([L0, L1, L2], 1)  # (C,3,3)
-        E = (
-            L[:, :, 0, None, None] * xs[None, None, None, :]
-            + L[:, :, 1, None, None] * ys[None, None, :, None]
-            + L[:, :, 2, None, None]
-        )  # (C,3,S,S)
-        inside = jnp.all(E >= 0, axis=1) | jnp.all(E <= 0, axis=1)
-        Esum = E.sum(1)
-        bary = E / jnp.where(jnp.abs(Esum) < 1e-20, 1.0, Esum)[:, None]
-        zp = (bary * zc[:, :, None, None]).sum(1)
-        ok = inside & (jnp.abs(Esum) > 1e-20) & on[:, None, None]
-        score = jnp.where(ok, zp, 1.0)
-        return jnp.minimum(best, score.min(axis=0)), None
-
-    init = jnp.ones((size, size), jnp.float32)
-    best, _ = jax.lax.scan(step, init, (p, zf, tri_on))
-    return best
+    depth_img, _ = rasterize_vertices(
+        p, zf, tri_on, size, size,
+        near=-1e-3, far=1.0,
+        tile_capacity=512, big_capacity=64, fine_chunk=64,
+        min_depth=None,
+    )
+    return jnp.minimum(depth_img, 1.0)
 
 
 def render_shadow_maps(atlas: SceneAtlas, inputs: RenderInputs, geom, cfg):
     """Returns (maps (L, S, S), matrices (L, 4, 4) world->shadow-uv-z)."""
     size = getattr(cfg, "shadow_size", 512)
-    n_lights = inputs.light_directions.shape[0]
+    n_lights = min(
+        inputs.light_directions.shape[0], getattr(cfg, "max_lights", 3)
+    )
     caster = inputs.obj_casts_shadows & inputs.obj_visible
     vert_on = caster[atlas.vert_obj]
     tri_on = caster[atlas.face_obj]
@@ -91,6 +67,9 @@ def render_shadow_maps(atlas: SceneAtlas, inputs: RenderInputs, geom, cfg):
     maps = []
     mats = []
     for i in range(n_lights):
+        light_on = jnp.any(inputs.light_directions[i] != 0) & jnp.any(
+            inputs.light_colors[i] != 0
+        )
         ldir = m.normalize(inputs.light_directions[i])
         # build light frame (looking along ldir)
         up = jnp.where(
@@ -116,8 +95,15 @@ def render_shadow_maps(atlas: SceneAtlas, inputs: RenderInputs, geom, cfg):
         v = (wl[:, 1] / ext * 0.5 + 0.5) * size
         z = jnp.clip(wl[:, 2] / zmax, 0.0, 1.0)
 
-        depth_map = _ortho_rasterize_depth(
-            jnp.stack([u, v], -1), z, atlas.faces, tri_on, size
+        # lax.cond so disabled light slots cost nothing at runtime
+        # (the reference's shadow pass also only runs for active lights,
+        # render_pass.cpp:407-460)
+        depth_map = jax.lax.cond(
+            light_on,
+            lambda: _ortho_rasterize_depth(
+                jnp.stack([u, v], -1), z, atlas.faces, tri_on, size
+            ),
+            lambda: jnp.ones((size, size), jnp.float32),
         )
         maps.append(depth_map)
 
