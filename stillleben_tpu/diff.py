@@ -1,0 +1,338 @@
+"""Approximate differentiable rendering (reference python/stillleben/diff.py).
+
+API-parity port of the reference module, reimplemented on JAX: where the
+reference drives torch autograd + two custom CUDA kernels
+(python/src/diff.cu), everything here is vectorized jax.numpy (the kernels
+were "trivially expressible as JAX ops" — SURVEY §2.4#4) and the whole
+per-object pipeline is batched over objects instead of a Python loop.
+
+Functions (signatures match the reference; arrays in/out are jax or numpy
+arrays instead of torch tensors):
+
+- ``gaussian_kernel(l, sig)``
+- ``compute_image_space_gradients(scene, render_result)``
+  (diff.py:73-127): Sobel dI/dx, dI/dy scaled by viewport, masked at
+  occlusion boundaries.
+- ``generate_sobel_valid_mask(instance, depth)`` (diff.cu:13-99): a pixel is
+  invalid when a 3x3 neighbor belongs to a DIFFERENT non-background instance
+  and is CLOSER.
+- ``dilate_object_mask(mask, sobel_valid, coordinates)`` (diff.cu:101-193):
+  grow the mask by 1px into all-valid neighborhoods, copying a neighboring
+  object pixel's coordinates.
+- ``backpropagate_gradient_to_poses(scene, result, dL_dI) -> (N, 6)``
+  (diff.py:355-523): chain dL/dI -> Sobel image gradients -> d(screen
+  xy)/d(3D cam point) from P (quotient rule) -> d(3D)/d(pose params) via the
+  6 so(3)+translation generators around T0.
+- ``bp_to_vertices_and_colors(scene, result, dL_dI)`` (diff.py:215-352):
+  same chain in object space, scattered to mesh VERTEX INDICES weighted by
+  BARYCENTRIC COEFFICIENTS; also color gradients. NOTE the reference negates
+  these gradients internally ("take small step in the opposite direction",
+  diff.py:344-346) — mirrored.
+- ``soft_forward(scene, render_results, obs_rgb, loss_fn)``
+  (diff.py:130-213): blends up to 5 depth-peeled layers with weights
+  [0.7, 0.3, 0.1, 0.1, 0.05], Gaussian-blurs (5x5 sigma 1), runs the loss and
+  returns per-layer vertex/color gradients.
+- ``apply_pose_delta(pose, delta, orthonormalize=True)`` (diff.py:525-590):
+  T0 @ (I + [delta]) with SVD re-orthonormalization, batched.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import math as _m
+
+KS = 5  # Gaussian kernel size used by soft_forward (reference diff.py:57)
+DB_WEIGHTS = (0.7, 0.3, 0.1, 0.1, 0.05)  # depth-peel blend weights
+
+
+def _as_jnp(x, dtype=jnp.float32):
+    if "torch" in type(x).__module__:
+        x = x.detach().cpu().numpy()
+    return jnp.asarray(x, dtype)
+
+
+def gaussian_kernel(l: int = 5, sig: float = 1.0):
+    """(l, l) 2D gaussian (reference diff.py:49-58)."""
+    ax = np.arange(-l // 2 + 1.0, l // 2 + 1.0)
+    xx, yy = np.meshgrid(ax, ax)
+    kernel = np.exp(-(xx**2 + yy**2) / (2.0 * sig**2))
+    return jnp.asarray(kernel / kernel.sum(), jnp.float32)
+
+
+def _shift(img: jax.Array, dy: int, dx: int) -> jax.Array:
+    """Edge-clamped shift (the CUDA kernels clamp at borders)."""
+    H, W = img.shape[:2]
+    ys = jnp.clip(jnp.arange(H) + dy, 0, H - 1)
+    xs = jnp.clip(jnp.arange(W) + dx, 0, W - 1)
+    return img[ys][:, xs]
+
+
+def generate_sobel_valid_mask(instance_index, depth) -> jax.Array:
+    """(H, W) bool; False at occlusion boundaries (diff.cu:13-99)."""
+    inst = _as_jnp(instance_index, jnp.int32)
+    d = _as_jnp(depth)
+    invalid = jnp.zeros(inst.shape, bool)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ni = _shift(inst, dy, dx)
+            nd = _shift(d, dy, dx)
+            invalid = invalid | ((ni != inst) & (ni != 0) & (nd < d))
+    invalid = invalid & (inst != 0)  # background pixels stay valid
+    return ~invalid
+
+
+def compute_image_space_gradients(scene, render_result):
+    """-> (grad_x (3,H,W), grad_y (3,H,W), sobel_valid_mask (H,W))
+    (reference diff.py:73-127)."""
+    rgb = _as_jnp(np.asarray(render_result.rgb())[:, :, :3]) / 255.0  # HxWx3
+    H, W = rgb.shape[:2]
+    img = rgb.transpose(2, 0, 1)  # 3xHxW
+
+    # grad_x[y,x] = (I[y,x-1] - I[y,x+1]) * W/4 with zero padding
+    # (matches the reference's negated conv with kernel [-1,0,1] * W/4)
+    left = jnp.pad(img, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
+    right = jnp.pad(img, ((0, 0), (0, 0), (0, 1)))[:, :, 1:]
+    grad_x = (left - right) * (W / 4.0)
+    up = jnp.pad(img, ((0, 0), (1, 0), (0, 0)))[:, :-1, :]
+    down = jnp.pad(img, ((0, 0), (0, 1), (0, 0)))[:, 1:, :]
+    grad_y = (up - down) * (H / 4.0)
+
+    mask = generate_sobel_valid_mask(
+        render_result.instance_index(), render_result.depth()
+    )
+    grad_x = jnp.where(mask[None], grad_x, 0.0)
+    grad_y = jnp.where(mask[None], grad_y, 0.0)
+    return grad_x, grad_y, mask
+
+
+def dilate_object_mask(object_mask, sobel_valid_mask, coordinates):
+    """Grow the object mask by 1px into fully-valid neighborhoods, copying a
+    neighboring object pixel's coordinates (diff.cu:101-193).
+    -> (dilated_mask (H,W) bool, dilated_coordinates (H,W,3))."""
+    mask = _as_jnp(object_mask, bool)
+    valid = _as_jnp(sobel_valid_mask, bool)
+    coords = _as_jnp(coordinates)
+
+    any_obj = jnp.zeros_like(mask)
+    all_valid = jnp.ones_like(mask)
+    neigh_coords = coords
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            nm = _shift(mask, dy, dx)
+            any_obj = any_obj | nm
+            all_valid = all_valid & _shift(valid, dy, dx)
+            nc = _shift(coords, dy, dx)
+            neigh_coords = jnp.where(nm[..., None], nc, neigh_coords)
+
+    grow = (~mask) & any_obj & all_valid
+    out_mask = mask | grow
+    out_coords = jnp.where(grow[..., None], neigh_coords, coords)
+    return out_mask, out_coords
+
+
+def _pose_generators(dtype=jnp.float32):
+    """The 6 so(3)+translation generator matrices (diff.py:449-467)."""
+    G = np.zeros((6, 4, 4), np.float32)
+    G[0, 1, 2], G[0, 2, 1] = -1, 1  # alpha
+    G[1, 0, 2], G[1, 2, 0] = 1, -1  # beta
+    G[2, 0, 1], G[2, 1, 0] = -1, 1  # gamma
+    G[3, 0, 3] = 1  # a
+    G[4, 1, 3] = 1  # b
+    G[5, 2, 3] = 1  # c
+    return jnp.asarray(G, dtype)
+
+
+def backpropagate_gradient_to_poses(
+    scene, render_result, grad_objective_wrt_rnd_img, visualize_grad: bool = False
+):
+    """-> (N, 6) gradient of the objective w.r.t. the N object poses
+    (reference diff.py:355-523; see its docstring for the local
+    linearization T(delta) = T0 (I + [delta]))."""
+    grad_in_full = _as_jnp(grad_objective_wrt_rnd_img)  # (3, H, W)
+    coordinates = _as_jnp(np.asarray(render_result.coordinates()))  # (H, W, 3)
+    inst = jnp.asarray(np.asarray(render_result.instance_index()), jnp.int32)
+    P = _as_jnp(scene.projection_matrix())
+
+    grad_x, grad_y, sobel_valid = compute_image_space_gradients(scene, render_result)
+    grad_wrt_xy = jnp.stack([grad_x, grad_y], 0)  # (2, 3, H, W)
+    G = _pose_generators()
+
+    out = np.zeros((len(scene.objects), 6), np.float32)
+    for idx, obj in enumerate(scene.objects):
+        object_mask = inst == obj.instance_index
+        object_mask, obj_coords = dilate_object_mask(
+            object_mask, sobel_valid, coordinates
+        )
+        if not bool(object_mask.any()):
+            print("object_mask is empty")
+            print("This could happen if the object is out of field of view")
+            continue
+
+        T0 = _as_jnp(obj.pose())
+        x = jnp.concatenate(
+            [obj_coords, jnp.ones_like(obj_coords[..., :1])], -1
+        )  # (H, W, 4) homogeneous object coordinates
+        y = jnp.einsum("ij,hwj->hwi", T0, x)  # world(cam) points
+
+        # d(screen xy)/d(3D point) via the quotient rule (diff.py:435-443)
+        Py = jnp.einsum("ij,hwj->hwi", P, y)  # (H, W, 4) rows P0..P3 applied
+        w_clip = Py[..., 2]  # P[2] @ y
+        inv_w = 1.0 / jnp.where(jnp.abs(w_clip) < 1e-12, 1e-12, w_clip)
+        # grad_wrt_coordinates[j, i] = P[j,i]/ (P2 y) - P[2,i] (Pj y)/(P2 y)^2
+        gc = (
+            P[None, None, :2, :3] * inv_w[..., None, None]
+            - P[None, None, 2:3, :3] * (Py[..., :2, None] * inv_w[..., None, None] ** 2)
+        )  # (H, W, 2, 3)
+
+        # d(3D)/d(pose params): T0 @ G_k @ x  (diff.py:445-483)
+        gp = jnp.einsum("ij,kjl,hwl->hwik", T0[:3], G, x)  # (H, W, 3, 6)
+
+        g_xy = grad_wrt_xy.transpose(2, 3, 1, 0)  # (H, W, 3, 2)
+        chain = jnp.einsum("hwce,hwei,hwik->hwck", g_xy, gc, gp)  # (H, W, 3, 6)
+        contrib = jnp.einsum("chw,hwck->k", grad_in_full,
+                             jnp.where(object_mask[..., None, None], chain, 0.0))
+        out[idx] = np.asarray(contrib)
+    return jnp.asarray(out)
+
+
+def bp_to_vertices_and_colors(
+    scene, render_result, grad_objective_wrt_rnd_img, visualize_grad: bool = False
+):
+    """-> (vertex_index list, grad_vertices list, grad_colors list), one entry
+    per scene object (reference diff.py:215-352). Gradients are NEGATED like
+    the reference ("take small step in the opposite direction")."""
+    grad_in_full = _as_jnp(grad_objective_wrt_rnd_img)  # (3, H, W)
+    coordinates = _as_jnp(np.asarray(render_result.coordinates()))
+    inst = jnp.asarray(np.asarray(render_result.instance_index()), jnp.int32)
+    bcfs = _as_jnp(np.asarray(render_result.barycentric_coeffs()))  # (H, W, 3)
+    vidx = jnp.asarray(np.asarray(render_result.vertex_indices()), jnp.int32)
+    P = _as_jnp(scene.projection_matrix())
+
+    grad_x, grad_y, _ = compute_image_space_gradients(scene, render_result)
+    grad_img_wrt_2D = jnp.stack([grad_x, grad_y], 0)  # (2, 3, H, W)
+
+    vertex_index_out, grad_vertices_out, grad_colors_out = [], [], []
+    for idx, obj in enumerate(scene.objects):
+        mask = np.asarray(inst == obj.instance_index)
+        flat_sel = mask.reshape(-1)
+        if not flat_sel.any():
+            print("instance_index image for the current object is empty")
+            print("object not rendered as a part of the scene")
+            continue
+
+        x = jnp.concatenate(
+            [coordinates, jnp.ones_like(coordinates[..., :1])], -1
+        ).reshape(-1, 4)[flat_sel]  # (p, 4) object-frame coords
+        PT = P @ _as_jnp(obj.pose())  # (4, 4); rows 0..2 used
+
+        Px = x @ PT[:3].T  # (p, 3): P_X3D_{0,1,2}
+        denom = Px[:, 2:3] ** 2
+        # d(screen)/d(object 3D) via the quotient rule (diff.py:296-310)
+        g2d3d = (
+            Px[:, 2:3, None] * PT[None, :2, :3]
+            - Px[:, :2, None] * PT[None, 2:3, :3]
+        ) / denom[..., None]  # (p, 2, 3)
+
+        g_img_2d = grad_img_wrt_2D.reshape(2, 3, -1)[:, :, flat_sel].transpose(
+            2, 1, 0
+        )  # (p, 3, 2)
+        g_loss_img = grad_in_full.reshape(3, -1)[:, flat_sel].T[:, None, :]  # (p,1,3)
+
+        g_img_3d = jnp.einsum("pce,pei->pci", g_img_2d, g2d3d)  # (p, 3, 3)
+        g_loss_3d = jnp.einsum("pqc,pci->pqi", g_loss_img, g_img_3d)  # (p, 1, 3)
+
+        b = bcfs.reshape(-1, 3)[flat_sel][..., None]  # (p, 3, 1)
+        grad_vertices = (b @ g_loss_3d.reshape(-1, 1, 3)).reshape(-1, 3)  # (3p, 3)
+        grad_colors = (b @ g_loss_img).reshape(-1, 3)
+        v_ids = vidx.reshape(-1, 3)[flat_sel].reshape(-1)
+
+        vertex_index_out.append(np.asarray(v_ids))
+        grad_vertices_out.append(np.asarray(-grad_vertices))
+        grad_colors_out.append(np.asarray(-grad_colors))
+    return vertex_index_out, grad_vertices_out, grad_colors_out
+
+
+def soft_forward(scene, render_result, obs_rgb, loss_fn):
+    """Soft occlusion-aware forward over depth-peeled layers
+    (reference diff.py:130-213). Returns (soft_rgb (3,H,W), rgbs list,
+    loss_img, loss, vertex_index list, grad_vertices list, grad_colors list).
+    """
+    if not isinstance(render_result, (list, tuple)):
+        raise ValueError("render_result should be a list or tuple")
+    obs = _as_jnp(obs_rgb)
+    if obs.ndim != 3 or obs.shape[0] != 3:
+        raise ValueError("Observed RGB should be CxHxW with C=3")
+    if float(obs.max()) > 1.0:
+        raise ValueError("Observed RGB should have range [0,1]")
+
+    rgbs = jnp.stack(
+        [
+            _as_jnp(np.asarray(rr.rgb())[:, :, :3]).transpose(2, 0, 1) / 255.0
+            for rr in render_result
+        ]
+    )  # (DB, 3, H, W)
+    weights = jnp.asarray(DB_WEIGHTS[: rgbs.shape[0]], jnp.float32)
+
+    kernel = gaussian_kernel(KS, 1.0)
+
+    def forward(layers):
+        soft = (layers * weights[:, None, None, None]).sum(0)  # (3, H, W)
+        blurred = jax.vmap(
+            lambda c: jax.scipy.signal.convolve2d(c, kernel, mode="same")
+        )(soft)
+        loss, loss_img = loss_fn(blurred[None], obs[None])
+        return loss, (soft, blurred, loss_img, loss)
+
+    (loss, (soft, blurred, loss_img, _)), grads = jax.value_and_grad(
+        forward, has_aux=True
+    )(rgbs)
+
+    vertex_index_2_bp, grad_vertices_2_bp, grad_colors_2_bp = [], [], []
+    for ir, rr in enumerate(render_result):
+        vi, gv, gc = bp_to_vertices_and_colors(scene, rr, grads[ir])
+        vertex_index_2_bp += vi
+        grad_vertices_2_bp += gv
+        grad_colors_2_bp += gc
+
+    rgbs_return = [r for r in rgbs]
+    return (
+        soft,
+        rgbs_return,
+        loss_img,
+        float(loss),
+        vertex_index_2_bp,
+        grad_vertices_2_bp,
+        grad_colors_2_bp,
+    )
+
+
+def apply_pose_delta(pose, delta, orthonormalize: bool = True):
+    """T0 @ (I + [delta]) with optional SVD re-orthonormalization, batched
+    (reference diff.py:525-590)."""
+    pose = _as_jnp(pose)
+    delta = _as_jnp(delta)
+    batched = pose.ndim == 3
+    if not batched:
+        pose = pose[None]
+        delta = delta[None]
+
+    a, b, g = delta[:, 0], delta[:, 1], delta[:, 2]
+    ones = jnp.ones_like(a)
+    zeros = jnp.zeros_like(a)
+    D = jnp.stack(
+        [
+            jnp.stack([ones, -g, b, delta[:, 3]], -1),
+            jnp.stack([g, ones, -a, delta[:, 4]], -1),
+            jnp.stack([-b, a, ones, delta[:, 5]], -1),
+            jnp.stack([zeros, zeros, zeros, ones], -1),
+        ],
+        -2,
+    )
+    new_poses = pose @ D
+    if orthonormalize:
+        R = _m.orthonormalize(new_poses[:, :3, :3])
+        new_poses = new_poses.at[:, :3, :3].set(R)
+    return new_poses if batched else new_poses[0]

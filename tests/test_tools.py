@@ -1,0 +1,184 @@
+"""Tests for camera_model, losses, profiling, IO, animator, job queue,
+manipulation sim, viewer, debug — the auxiliary API surface."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import stillleben_tpu as sl
+from stillleben_tpu import camera_model, losses, profiling
+
+
+def _test_img():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.random((3, 32, 32), np.float32))
+
+
+def test_chromatic_aberration_identity():
+    img = _test_img()
+    out = camera_model.chromatic_aberration(
+        img, np.zeros((3, 2), np.float32), np.ones(3, np.float32)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-3)
+
+
+def test_blur_preserves_mean():
+    img = _test_img()
+    out = camera_model.blur(img, 1.0)
+    # 'same'-mode zero padding bleeds a little at the borders
+    assert abs(float(out.mean()) - float(img.mean())) < 0.03
+
+
+def test_exposure():
+    img = jnp.full((3, 4, 4), 0.5)
+    brighter = camera_model.exposure(img, -1.0)
+    darker = camera_model.exposure(img, 1.0)
+    assert float(brighter.mean()) > 0.5 > float(darker.mean())
+
+
+def test_noise_ranges():
+    img = _test_img()
+    out = camera_model.noise(img, 0.04, 0.02, key=jax.random.PRNGKey(0))
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    assert not np.allclose(np.asarray(out), np.asarray(img))
+
+
+def test_color_jitter_identity_and_shift():
+    img = _test_img()
+    out0 = camera_model.color_jitter(img, 0.0)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(img), atol=1e-4)
+    out1 = camera_model.color_jitter(img, 0.3)
+    assert not np.allclose(np.asarray(out1), np.asarray(img), atol=1e-2)
+    # jitter preserves value (max channel)
+    np.testing.assert_allclose(
+        np.asarray(out1.max(axis=0)), np.asarray(img.max(axis=0)), atol=1e-4
+    )
+
+
+def test_process_image_runs():
+    img = _test_img()
+    out = camera_model.process_image(img, key=jax.random.PRNGKey(1))
+    assert out.shape == img.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_neg_iou_loss():
+    a = jnp.ones((1, 1, 8, 8))
+    loss_same, img = losses.neg_iou_loss(a, a)
+    assert abs(float(loss_same)) < 1e-5
+    b = jnp.zeros((1, 1, 8, 8))
+    loss_diff, _ = losses.neg_iou_loss(a, b)
+    assert float(loss_diff) > 0.9
+
+
+def test_profiling_timer(capsys):
+    profiling.Timer.enabled = True
+    try:
+        with profiling.Timer("outer"):
+            with profiling.Timer("inner"):
+                pass
+        out = capsys.readouterr().out
+        assert "outer" in out and "inner" in out
+    finally:
+        profiling.Timer.enabled = False
+
+
+def test_image_saver_roundtrip(tmp_path):
+    img = (np.random.default_rng(0).random((16, 16, 3)) * 255).astype(np.uint8)
+    img16 = (np.random.default_rng(1).random((16, 16)) * 65535).astype(np.uint16)
+    with sl.ImageSaver() as saver:
+        saver.save(img, str(tmp_path / "a.png"))
+        saver.save(img16, str(tmp_path / "b.png"))
+    from PIL import Image
+
+    back = np.asarray(Image.open(tmp_path / "a.png"))
+    np.testing.assert_array_equal(back, img)
+    back16 = np.asarray(Image.open(tmp_path / "b.png"))
+    np.testing.assert_array_equal(back16, img16)
+
+
+def test_image_loader(tmp_path):
+    from PIL import Image
+
+    for i in range(3):
+        arr = np.full((8, 8, 3), i * 40, np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"img{i}.png")
+    loader = sl.ImageLoader(str(tmp_path), seed=0)
+    tex = loader.next_texture()
+    assert tex.pixels.shape == (8, 8, 4)
+    tex2 = loader.next_texture2d()
+    assert tex2.pixels.shape == (8, 8, 4)
+    loader.close()
+
+
+def test_animator():
+    p0 = np.eye(4, dtype=np.float32)
+    p1 = np.eye(4, dtype=np.float32)
+    p1[:3, 3] = [1, 0, 0]
+    anim = sl.Animator([p0, p1], ticks=5)
+    poses = list(anim)
+    assert len(poses) == 5
+    np.testing.assert_allclose(poses[0][:3, 3], [0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(poses[-1][:3, 3], [1, 0, 0], atol=1e-6)
+    assert poses[2][0, 3] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_job_queue():
+    mesh = sl.Mesh("primitive://cube")
+    mesh.scale_to_bbox_diagonal(0.2)
+    scenes = []
+    for i in range(2):
+        s = sl.Scene((32, 32))
+        s.seed(i)
+        s.add_object(sl.Object(mesh))
+        scenes.append(s)
+    q = sl.JobQueue(num_threads=2)
+    for s in scenes:
+        q.add_scene(s)
+    done = [q.retrieve_scene() for _ in scenes]
+    assert set(map(id, done)) == set(map(id, scenes))
+    for s in done:
+        z = s.objects[0].pose()[2, 3]
+        assert 0.0 < z < 1.0  # settled above the floor
+    q.close()
+
+
+def test_manipulation_sim():
+    mesh = sl.Mesh("primitive://cube")
+    mesh.scale_to_bbox_diagonal(0.2)
+    scene = sl.Scene((32, 32))
+    scene.gravity = [0.0, 0.0, 0.0]  # pure impedance behavior
+    obj = sl.Object(mesh)
+    scene.add_object(obj)
+    sim = sl.ManipulationSim(scene, obj, np.eye(4, dtype=np.float32))
+    goal = np.eye(4, dtype=np.float32)
+    goal[:3, 3] = [0.2, 0.0, 0.0]
+    for _ in range(100):
+        sim.step(goal, 0.01)
+    p = obj.pose()[:3, 3]
+    assert p[0] > 0.05, f"manipulator did not move toward goal: {p}"
+    np.testing.assert_allclose(obj.pose()[:3, :3], np.eye(3), atol=1e-5)
+
+
+def test_viewer_dashboard(cube_glb):
+    mesh = sl.Mesh(cube_glb, physics=False)
+    scene = sl.Scene((64, 64))
+    scene.add_object(sl.Object(mesh))
+    scene.set_camera_look_at([3, 2, 3], [0, 0, 0])
+    img = sl.Viewer(scene).dashboard()
+    assert img.shape == (128, 128, 3)
+    assert img.max() > 0
+
+
+def test_render_debug_image(cube_glb):
+    mesh = sl.Mesh(cube_glb, physics=False)
+    scene = sl.Scene((64, 64))
+    scene.add_object(sl.Object(mesh))
+    scene.set_camera_look_at([3, 2, 3], [0, 0, 0])
+    img = sl.render_debug_image(scene)
+    assert img.shape == (64, 64, 4)
+    # axis overlay drew some saturated pixels
+    assert (img[..., :3] == 255).any()
