@@ -71,15 +71,22 @@ def convex_hull(points: np.ndarray, max_vertices: int = MAX_HULL_VERTICES) -> Co
     hull = SciHull(points, qhull_options="QJ")
     verts = points[hull.vertices]
 
-    if verts.shape[0] > max_vertices:
-        verts = _reduce_vertices(points[hull.vertices], max_vertices)
-        hull = SciHull(verts, qhull_options="QJ")
-        verts = verts[hull.vertices]
-        # re-hull to get consistent simplices for mass props
-        hull = SciHull(verts, qhull_options="QJ")
+    # Both vertex AND face-plane counts must fit the padded device budget
+    # (a silently truncated plane set makes the hull "open" and destabilizes
+    # the contact solver). Reduce vertices until both fit.
+    target = min(max_vertices, verts.shape[0])
+    while True:
+        if verts.shape[0] > target:
+            verts = _reduce_vertices(verts, target)
+            hull = SciHull(verts, qhull_options="QJ")
+            verts = verts[hull.vertices]
+            hull = SciHull(verts, qhull_options="QJ")
+        planes = _face_planes(hull)
+        if len(planes) <= MAX_HULL_VERTICES and verts.shape[0] <= max_vertices:
+            break
+        target = max(target * 3 // 4, 8)
 
     volume, com, inertia = _mass_properties(verts, hull.simplices, hull.points)
-    planes = _face_planes(hull)
     return ConvexHullData(
         vertices=verts.astype(np.float32),
         planes=planes.astype(np.float32),

@@ -51,13 +51,13 @@ class Mesh:
 
     def __init__(
         self,
-        filename: str,
+        filename,
         visual: bool = True,
         physics: bool = True,
         flags: MeshFlag = MeshFlag.NONE,
         _defer_open: bool = False,
     ):
-        self._filename = filename
+        self._filename = str(filename)  # pathlib.Path accepted
         self._flags = MeshFlag(flags)
         self._want_visual = visual
         self._want_physics = physics
@@ -131,7 +131,7 @@ class Mesh:
     ) -> list["Mesh"]:
         """Parallel import over a thread pool (reference src/mesh.cpp:923-999).
         Parsing/cooking is pure host work so threads are effective here."""
-        meshes = [Mesh(f, visual, physics, flags, _defer_open=True) for f in filenames]
+        meshes = [Mesh(str(f), visual, physics, flags, _defer_open=True) for f in filenames]
 
         def _load(m: Mesh):
             m.open_file()

@@ -14,6 +14,10 @@ import numpy as np
 
 class Texture:
     def __init__(self, source):
+        import pathlib
+
+        if isinstance(source, pathlib.Path):
+            source = str(source)
         if isinstance(source, str):
             from PIL import Image
 

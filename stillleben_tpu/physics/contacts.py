@@ -184,8 +184,26 @@ def pair_contacts(
     best_b_gap = jnp.max(gaps_b, axis=1)
     best_b_idx = jnp.argmax(gaps_b, axis=1)
 
-    separation = jnp.maximum(best_a_gap, best_b_gap)  # (NP,)
-    use_a_face = best_a_gap >= best_b_gap
+    # third candidate: the centroid axis. Face-normal SAT alone has no good
+    # axis for vertex-heavy contacts (sphere-like hull on sphere-like hull);
+    # the centroid direction supplies one and prevents wrong deep-penetration
+    # normals from blowing up the solver.
+    from ..core.math import normalize as _normalize
+
+    d_c = _normalize(wc[ib] - wc[ia])  # (NP, 3) from A to B
+    supp_a = jnp.max(
+        jnp.where(atlas.vert_valid[ia], jnp.einsum("ni,nvi->nv", d_c, wv[ia]), -jnp.inf),
+        axis=1,
+    )
+    supp_b = jnp.min(
+        jnp.where(atlas.vert_valid[ib], jnp.einsum("ni,nvi->nv", d_c, wv[ib]), jnp.inf),
+        axis=1,
+    )
+    gap_c = supp_b - supp_a
+
+    separation = jnp.maximum(jnp.maximum(best_a_gap, best_b_gap), gap_c)  # (NP,)
+    use_c = gap_c >= jnp.maximum(best_a_gap, best_b_gap)
+    use_a_face = (best_a_gap >= best_b_gap) & ~use_c
 
     overlapping = separation < margin
     active = pair_active & overlapping
@@ -196,12 +214,21 @@ def pair_contacts(
     # face plane. This keeps the manifold one-sided and temporally stable.
     p_ref_a = jnp.take_along_axis(wp[ia], best_a_idx[:, None, None], axis=1)[:, 0]  # (NP,4)
     p_ref_b = jnp.take_along_axis(wp[ib], best_b_idx[:, None, None], axis=1)[:, 0]
-    p_ref = jnp.where(use_a_face[:, None], p_ref_a, p_ref_b)
+    # centroid-axis reference plane: orthogonal to d_c at A's support point
+    p_ref_c = jnp.concatenate([d_c, -supp_a[:, None]], axis=-1)
+    p_ref = jnp.where(
+        use_c[:, None], p_ref_c, jnp.where(use_a_face[:, None], p_ref_a, p_ref_b)
+    )
     # contact normal, from A to B
-    normal = jnp.where(use_a_face[:, None], p_ref_a[:, :3], -p_ref_b[:, :3])
+    normal = jnp.where(
+        use_c[:, None],
+        d_c,
+        jnp.where(use_a_face[:, None], p_ref_a[:, :3], -p_ref_b[:, :3]),
+    )
 
-    inc_verts = jnp.where(use_a_face[:, None, None], wv[ib], wv[ia])  # (NP,VH,3)
-    inc_valid = jnp.where(use_a_face[:, None], atlas.vert_valid[ib], atlas.vert_valid[ia])
+    ref_is_a = use_a_face | use_c  # reference hull is A; incident is B
+    inc_verts = jnp.where(ref_is_a[:, None, None], wv[ib], wv[ia])  # (NP,VH,3)
+    inc_valid = jnp.where(ref_is_a[:, None], atlas.vert_valid[ib], atlas.vert_valid[ia])
     # penetration of incident verts along the reference face
     depth_ref = -(
         jnp.einsum("nvi,ni->nv", inc_verts, p_ref[:, :3]) + p_ref[:, 3:4][..., 0][:, None]
@@ -209,8 +236,8 @@ def pair_contacts(
     # lateral containment: the vert must lie within the reference hull's SIDE
     # planes (those nearly perpendicular to the reference normal); depth along
     # the reference face itself may be anything (deep overlap included)
-    ref_planes = jnp.where(use_a_face[:, None, None], wp[ia], wp[ib])  # (NP,PH,4)
-    ref_pvalid = jnp.where(use_a_face[:, None], atlas.plane_valid[ia], atlas.plane_valid[ib])
+    ref_planes = jnp.where(ref_is_a[:, None, None], wp[ia], wp[ib])  # (NP,PH,4)
+    ref_pvalid = jnp.where(ref_is_a[:, None], atlas.plane_valid[ia], atlas.plane_valid[ib])
     is_side = ref_pvalid & (
         jnp.abs(jnp.einsum("npi,ni->np", ref_planes[..., :3], p_ref[:, :3])) < 0.95
     )

@@ -32,12 +32,21 @@ def integrate_velocities(
 ) -> BodyState:
     dyn = (params.inv_mass > 0) & params.valid & ~params.kinematic
     lin = jnp.where(dyn[:, None], state.lin_vel + cfg.gravity_vec * dt, state.lin_vel)
+    lin = lin * (1.0 - cfg.linear_damping * dt)
+    ang = state.ang_vel * (1.0 - cfg.angular_damping * dt)
+    state = state._replace(ang_vel=jnp.where(dyn[:, None], ang, state.ang_vel))
     # linear velocity limit (reference Object::setLinearVelocityLimit,
-    # src/object.cpp:522-545)
+    # src/object.cpp:522-545) + global solver clamps (PhysX maxLinearVelocity)
     speed = jnp.linalg.norm(lin, axis=-1, keepdims=True)
-    limit = params.linear_velocity_limit[:, None]
+    limit = jnp.minimum(params.linear_velocity_limit[:, None], cfg.max_velocity)
     lin = jnp.where(speed > limit, lin * (limit / jnp.maximum(speed, 1e-9)), lin)
-    return state._replace(lin_vel=lin)
+    spin = jnp.linalg.norm(state.ang_vel, axis=-1, keepdims=True)
+    ang2 = jnp.where(
+        spin > cfg.max_angular_velocity,
+        state.ang_vel * (cfg.max_angular_velocity / jnp.maximum(spin, 1e-9)),
+        state.ang_vel,
+    )
+    return state._replace(lin_vel=lin, ang_vel=ang2)
 
 
 def integrate_poses(params: BodyParams, state: BodyState, dt) -> BodyState:
@@ -103,6 +112,9 @@ def step_fn(
     state = integrate_velocities(params, state, dt, cfg)
     contacts = gather_contacts(atlas, params, state, floor, pairs)
     state, report = solve_contacts(contacts, params, state, dt, cfg)
+    # re-clamp: a diverging contact solve must not translate into an
+    # unbounded displacement this substep
+    state = _clamp_velocities(state, cfg)
     state = integrate_poses(params, state, dt)
     # position projection with depth advanced to post-integration estimate
     kin_n = contacts.normal
@@ -125,6 +137,22 @@ def step_fn(
     )
     state = _stabilize_resting(params, state, report, body_radius)
     return state, report
+
+
+def _clamp_velocities(state: BodyState, cfg: SolverConfig) -> BodyState:
+    speed = jnp.linalg.norm(state.lin_vel, axis=-1, keepdims=True)
+    lin = jnp.where(
+        speed > cfg.max_velocity,
+        state.lin_vel * (cfg.max_velocity / jnp.maximum(speed, 1e-9)),
+        state.lin_vel,
+    )
+    spin = jnp.linalg.norm(state.ang_vel, axis=-1, keepdims=True)
+    ang = jnp.where(
+        spin > cfg.max_angular_velocity,
+        state.ang_vel * (cfg.max_angular_velocity / jnp.maximum(spin, 1e-9)),
+        state.ang_vel,
+    )
+    return state._replace(lin_vel=lin, ang_vel=ang)
 
 
 def _point_velocity(state: BodyState, params: BodyParams, contacts: Contacts, which: str):
@@ -152,7 +180,7 @@ def _stabilize_resting(
     r = body_radius if body_radius is not None else jnp.full_like(speed, 0.1)
     surface_speed = speed + spin * r
     in_contact = report.min_separation < 5e-3
-    resting = in_contact & (surface_speed < 0.12)
+    resting = in_contact & (surface_speed < 0.15)
     decay = jnp.where(resting, 0.6, 1.0)[:, None]
     return state._replace(lin_vel=state.lin_vel * decay, ang_vel=state.ang_vel * decay)
 

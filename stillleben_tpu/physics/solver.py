@@ -180,7 +180,9 @@ def solve_contacts(
     # limits the approach speed to gap/dt (no tunneling, free fall otherwise);
     # an overlapping contact gets Baumgarte push-out + restitution.
     pen = jnp.maximum(contacts.depth - cfg.slop + cfg.rest_offset, 0.0)
-    bias = (cfg.baumgarte / dt) * pen
+    # cap the depenetration velocity (PhysX maxDepenetrationVelocity-style):
+    # wrong deep-penetration measurements must not inject unbounded energy
+    bias = jnp.minimum((cfg.baumgarte / dt) * pen, cfg.max_depenetration_velocity)
     gap = jnp.minimum(contacts.depth + cfg.rest_offset, 0.0)  # <= 0 when separated
     # separated: approach limited to gap/dt. Restitution applies only when the
     # contact actually impacts within this substep (vn0 <= gap/dt), otherwise
@@ -191,12 +193,16 @@ def solve_contacts(
     )
     target_vn = jnp.where(gap < 0.0, separated_target, jnp.maximum(bounce, bias))
 
+    # under-relaxation keeps the Jacobi iteration contractive for
+    # strongly-coupled contact piles
+    relax = cfg.relaxation
+
     def body_fn(_, carry):
         lin, ang, acc_n, acc_t1, acc_t2 = carry
         v = _rel_velocity(contacts, kin, lin, ang)
         vn = jnp.einsum("ci,ci->c", v, n)
 
-        d_n = (target_vn - vn) * m_n
+        d_n = relax * (target_vn - vn) * m_n
         new_acc_n = jnp.maximum(acc_n + d_n, 0.0)
         d_n = new_acc_n - acc_n
 
@@ -206,14 +212,14 @@ def solve_contacts(
         v = _rel_velocity(contacts, kin, lin, ang)
         max_f = contacts.friction * new_acc_n
         vt1 = jnp.einsum("ci,ci->c", v, t1)
-        d_t1 = -vt1 * m_t1
+        d_t1 = -relax * vt1 * m_t1
         new_acc_t1 = jnp.clip(acc_t1 + d_t1, -max_f, max_f)
         d_t1 = new_acc_t1 - acc_t1
         lin, ang = _apply_impulse(contacts, kin, lin, ang, d_t1[:, None] * t1)
 
         v = _rel_velocity(contacts, kin, lin, ang)
         vt2 = jnp.einsum("ci,ci->c", v, t2)
-        d_t2 = -vt2 * m_t2
+        d_t2 = -relax * vt2 * m_t2
         new_acc_t2 = jnp.clip(acc_t2 + d_t2, -max_f, max_f)
         d_t2 = new_acc_t2 - acc_t2
         lin, ang = _apply_impulse(contacts, kin, lin, ang, d_t2[:, None] * t2)
@@ -261,7 +267,11 @@ def position_correction(
 
     def body_fn(_, carry):
         pos, quat, corrected = carry
-        pen = jnp.maximum(contacts.depth - corrected - cfg.slop, 0.0)
+        # capped: an incorrectly-measured deep penetration must not teleport
+        # bodies (max ~2mm per iteration)
+        pen = jnp.minimum(
+            jnp.maximum(contacts.depth - corrected - cfg.slop, 0.0), 2.5e-3
+        )
         lam = 0.8 * pen * m_n  # positional "impulse" magnitude
         lam = jnp.where(contacts.valid, lam, 0.0)
         P = lam[:, None] * n

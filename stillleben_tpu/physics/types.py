@@ -85,13 +85,21 @@ class SolverConfig(NamedTuple):
     """Hashable (all-static) solver configuration — safe as a jit static arg."""
 
     gravity: tuple = (0.0, 0.0, -9.81)
-    velocity_iterations: int = 8
+    velocity_iterations: int = 12
     position_iterations: int = 4
-    baumgarte: float = 0.2
+    # small: position projection handles depenetration; a large Baumgarte
+    # bias on top pumps energy into resting contacts (bounce/jitter)
+    baumgarte: float = 0.1
     slop: float = 1e-3  # penetration slop
     rest_offset: float = 0.0015  # reference src/object.cpp restOffset
     restitution_threshold: float = 0.2  # m/s below which no bounce
     max_contacts_per_hull_pair: int = 8
+    max_depenetration_velocity: float = 2.0  # m/s cap on Baumgarte push-out
+    linear_damping: float = 0.0  # 1/s (PhysX default: 0)
+    angular_damping: float = 0.05
+    relaxation: float = 0.9  # Jacobi under-relaxation factor
+    max_velocity: float = 5.0  # m/s global clamp (PhysX maxLinearVelocity)
+    max_angular_velocity: float = 20.0  # rad/s
 
     @property
     def gravity_vec(self) -> jax.Array:
@@ -142,6 +150,13 @@ def build_hull_atlas(
     radius = np.zeros((nh,), np.float32)
 
     for i, (b, v, p) in enumerate(entries):
+        if v.shape[0] > max_verts or p.shape[0] > max_planes:
+            # a truncated hull is "open" -> SAT gaps misfire -> explosions;
+            # cook-time (assets/convex.py) reduces hulls to fit the budget
+            raise ValueError(
+                f"hull exceeds atlas budget: {v.shape[0]} verts / "
+                f"{p.shape[0]} planes (max {max_verts}/{max_planes})"
+            )
         nv = min(v.shape[0], max_verts)
         npl = min(p.shape[0], max_planes)
         verts[i, :nv] = v[:nv]

@@ -193,6 +193,9 @@ class Scene:
         )
         self.light_directions = np.asarray(d)[None]
 
+    # deprecated alias used by the reference's examples/ycb.py
+    choose_random_light_position = choose_random_light_direction
+
     @property
     def manual_exposure(self) -> float:
         return self._manual_exposure
