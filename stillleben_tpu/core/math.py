@@ -41,7 +41,15 @@ def cross_matrix(v: jax.Array) -> jax.Array:
 
 
 def normalize(v: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), eps)
+    """Gradient-safe normalize: no NaN cotangents for (near-)zero vectors.
+
+    ``v / max(norm(v), eps)`` still propagates NaN through the norm's
+    backward at v = 0; masking the squared norm BEFORE the sqrt keeps the
+    whole backward finite (degenerate inputs pass through unscaled).
+    """
+    n2 = jnp.sum(v * v, axis=axis, keepdims=True)
+    safe = jnp.where(n2 < eps, 1.0, n2)
+    return v * jax.lax.rsqrt(safe)
 
 
 # ---------------------------------------------------------------------------
@@ -53,7 +61,9 @@ def quat_identity(dtype=jnp.float32) -> jax.Array:
 
 
 def quat_normalize(q: jax.Array, eps: float = 1e-12) -> jax.Array:
-    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+    n2 = jnp.sum(q * q, axis=-1, keepdims=True)
+    safe = jnp.where(n2 < eps, 1.0, n2)
+    return q * jax.lax.rsqrt(safe)
 
 
 def quat_multiply(a: jax.Array, b: jax.Array) -> jax.Array:
