@@ -295,6 +295,33 @@ def decompose(
     vertices = np.asarray(vertices, np.float64).reshape(-1, 3)
     faces = np.asarray(faces, np.int64).reshape(-1, 3)
 
+    # native fast path (C++ quickhull + exact voxelization, ~30x faster;
+    # same algorithm/selection rules — see native/sl_decompose.cpp)
+    if os.environ.get("STILLLEBEN_TPU_NATIVE_DECOMP", "1") != "0":
+        from .native_decompose import decompose_native
+
+        native = decompose_native(
+            vertices.astype(np.float32),
+            faces.astype(np.int32),
+            concavity,
+            max_hulls=max_hulls,
+            resolution=resolution,
+            force_single_hull=force_single_hull,
+        )
+        if native is not None:
+            return PhysicsMeshData(
+                hulls=[
+                    ConvexHullData(
+                        vertices=h["vertices"],
+                        planes=h["planes"],
+                        volume=h["volume"],
+                        center_of_mass=h["center_of_mass"],
+                        inertia=h["inertia"],
+                    )
+                    for h in native
+                ]
+            )
+
     single = convex_hull(vertices)
     if force_single_hull:
         return PhysicsMeshData(hulls=[single])

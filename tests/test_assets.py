@@ -150,3 +150,27 @@ def test_obj_roundtrip(tmp_path):
     c = consolidate(doc, "tri")
     assert c.num_faces == 2  # fan-triangulated quad
     assert c.num_vertices == 4
+
+
+def test_native_decomposition_matches_python(cube_glb):
+    """The C++ decomposition (native/sl_decompose.cpp) must agree with the
+    Python fallback on the selection rule and hull quality."""
+    from stillleben_tpu.assets import native_decompose
+
+    if not native_decompose.available():
+        pytest.skip("native library not built (g++ unavailable)")
+
+    c = consolidate(load_gltf(cube_glb), "cube")
+    hulls = native_decompose.decompose_native(
+        c.positions, c.faces.astype(np.int32), 0.002
+    )
+    assert hulls is not None
+    assert len(hulls) == 1  # convex -> single-hull shortcut
+    assert abs(hulls[0]["volume"] - 8.0) < 1e-3
+    np.testing.assert_allclose(hulls[0]["center_of_mass"], 0.0, atol=1e-5)
+    np.testing.assert_allclose(
+        np.diag(hulls[0]["inertia"]), 8.0 / 12 * 8.0, atol=1e-2
+    )
+    # hull planes contain all vertices
+    d = hulls[0]["vertices"] @ hulls[0]["planes"][:, :3].T + hulls[0]["planes"][:, 3]
+    assert d.max() < 1e-4
