@@ -23,7 +23,7 @@ import numpy as np
 TARGET_SCENES_PER_SEC = 500.0  # BASELINE.json north-star target
 WIDTH, HEIGHT = 640, 480
 N_OBJECTS = 10
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 
 
@@ -74,20 +74,24 @@ def main():
     cfg = FrameConfig(
         width=WIDTH, height=HEIGHT, shading="pbr", ssao=False, chunk=chunk,
         max_lights=1,
+        shadow_size=int(os.environ.get("BENCH_SHADOW", "256")),
+        tile_capacity=int(os.environ.get("BENCH_TILE_CAP", "128")),
+        fine_chunk=int(os.environ.get("BENCH_FINE_CHUNK", "32")),
     )
     solver_cfg = default_config()
 
     keys = jax.random.split(jax.random.PRNGKey(42), BATCH)
+    sub = int(os.environ.get("BENCH_RENDER_SUB", "8"))
 
     # compile + warmup
-    out = generate_batch(keys, tpl, cfg, solver_cfg)
+    out = generate_batch(keys, tpl, cfg, solver_cfg, render_sub_batch=sub)
     jax.block_until_ready(out.rgb)
 
     times = []
     for r in range(REPEATS):
         keys = jax.random.split(jax.random.PRNGKey(100 + r), BATCH)
         t0 = time.perf_counter()
-        out = generate_batch(keys, tpl, cfg, solver_cfg)
+        out = generate_batch(keys, tpl, cfg, solver_cfg, render_sub_batch=sub)
         jax.block_until_ready(out.rgb)
         times.append(time.perf_counter() - t0)
 

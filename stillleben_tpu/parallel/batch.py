@@ -116,19 +116,50 @@ def generate_one(
     return render_frame_core(tpl.render_atlas, inputs, cfg)
 
 
-@partial(jax.jit, static_argnames=("cfg", "solver_cfg", "settle_iterations"))
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "solver_cfg", "settle_iterations", "render_sub_batch"),
+)
 def generate_batch(
     keys: jax.Array,  # (B, 2) PRNG keys
     tpl: SceneTemplate,
     cfg: FrameConfig,
     solver_cfg: SolverConfig,
     settle_iterations: int = tt.MAX_ITERATIONS,
+    render_sub_batch: int = 8,
 ) -> RenderedFrame:
     """vmap over the scene axis; shard `keys` over a device mesh to scale out
-    (outputs inherit the sharding — each chip keeps its own scenes)."""
-    return jax.vmap(
-        lambda k: generate_one(k, tpl, cfg, solver_cfg, settle_iterations)
+    (outputs inherit the sharding — each chip keeps its own scenes).
+
+    Physics settles the WHOLE batch at once (tiny state, latency-bound —
+    batching amortizes kernel launches), while rendering streams through
+    ``lax.map`` sub-batches so the rasterizer's per-chunk edge tensors stay
+    inside HBM."""
+    poses, cams, lights = jax.vmap(
+        lambda k: settle_scene(k, tpl, solver_cfg, settle_iterations)
     )(keys)
+
+    def render_chunklet(pcl):
+        p, c, l = pcl
+        return jax.vmap(lambda pi, ci, li: render_with_poses(tpl, pi, ci, cfg, li))(
+            p, c, l
+        )
+
+    B = keys.shape[0]
+    sub = min(render_sub_batch, B)
+    pad = (-B) % sub
+    if pad:
+        padder = lambda x: jnp.concatenate([x, x[:pad]], axis=0)
+        poses, cams, lights = padder(poses), padder(cams), padder(lights)
+    n_groups = poses.shape[0] // sub
+    grouped = jax.tree.map(
+        lambda x: x.reshape((n_groups, sub) + x.shape[1:]), (poses, cams, lights)
+    )
+    frames = jax.lax.map(render_chunklet, grouped)
+    frames = jax.tree.map(
+        lambda x: x.reshape((n_groups * sub,) + x.shape[2:])[:B], frames
+    )
+    return frames
 
 
 def settle_scene(

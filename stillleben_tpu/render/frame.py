@@ -32,6 +32,7 @@ class FrameConfig(NamedTuple):
     big_capacity: int = 64  # max "oversized" triangles per frame
     shadow_size: int = 512
     max_lights: int = 3  # STATIC cap on shaded/shadowed light slots
+    fine_chunk: int = 64  # triangles per fine-raster scan step (memory knob)
 
 
 class RenderedFrame(NamedTuple):
@@ -76,6 +77,7 @@ def render_frame_core(
             geom, atlas, inputs, W, H,
             near=cfg.near, far=cfg.far,
             tile_capacity=cfg.tile_capacity, big_capacity=cfg.big_capacity,
+            fine_chunk=cfg.fine_chunk,
             min_depth=depth_peel_depth,
         )
     else:

@@ -196,10 +196,12 @@ def rasterize_vertices(
     Pmat = jnp.stack([pxx, pyy, jnp.ones_like(pxx)], axis=1)  # (n_tiles, 3, PIX)
 
     # precompute per-triangle edge lines and the depth-weighted line:
-    # wp(p) = (sum_k E_k(p) * z_k) / (sum_k E_k(p))
+    # wp(p) = (sum_k E_k(p) * z_k) / (sum_k E_k(p)). Packed into ONE table so
+    # the fine stage pays a single gather per chunk (TPU gathers cost per row).
     Lf = _edge_lines(v)  # (F, 3, 3)
     Lsum = Lf.sum(axis=1)  # (F, 3): coefficients of sum_k E_k
     Lz = (Lf * depth_attr[:, :, None]).sum(axis=1)  # (F, 3)
+    Lcat = jnp.concatenate([Lf.reshape(-1, 9), Lsum, Lz], axis=1)  # (F, 15)
 
     n_chunks = -(-K // fine_chunk)
     pad_k = n_chunks * fine_chunk - K
@@ -224,10 +226,15 @@ def rasterize_vertices(
         best_w, best_tri = carry
         tri_ids, ok = data  # (n_tiles, C)
         C = tri_ids.shape[1]
-        # gather per-tile line coefficients: (n_tiles, C, 3) each
-        L = Lf[tri_ids]  # (n_tiles, C, 3, 3)
+        # ONE gather of the packed line table, then reshape into the matmul A
+        Lc = Lcat[tri_ids]  # (n_tiles, C, 15)
         A = jnp.concatenate(
-            [L.reshape(n_tiles, C * 3, 3), Lsum[tri_ids], Lz[tri_ids]], axis=1
+            [
+                Lc[..., :9].reshape(n_tiles, C * 3, 3),
+                Lc[..., 9:12],
+                Lc[..., 12:15],
+            ],
+            axis=1,
         )  # (n_tiles, C*3 + 2C, 3)
         R = jnp.einsum(
             "nkj,njp->nkp", A, Pmat, preferred_element_type=jnp.float32

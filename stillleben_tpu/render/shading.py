@@ -109,12 +109,35 @@ def shade(
     valid = gbuf.tri_id >= 0
     tri = jnp.maximum(gbuf.tri_id, 0)
 
-    f = atlas.faces[tri]  # (H, W, 3)
-    obj = atlas.face_obj[tri]  # (H, W)
-    mat = atlas.face_mat[tri]
+    # one packed per-face int gather (see the packed vertex gather below)
+    face_table = jnp.concatenate(
+        [atlas.faces, atlas.face_obj[:, None], atlas.face_mat[:, None]], axis=1
+    )  # (F, 5)
+    ft = face_table[tri]  # (H, W, 5)
+    f = ft[..., :3]
+    obj = ft[..., 3]
+    mat = ft[..., 4]
+
+    # --- ONE packed per-vertex gather (TPU gathers pay per ROW, not per
+    # byte: ~10 separate attribute gathers are ~10x slower than one wide one)
+    packed = jnp.concatenate(
+        [
+            geom.obj_coords,       # 0:3
+            geom.world,            # 3:6
+            geom.cam,              # 6:9
+            atlas.texcoords,       # 9:11
+            geom.normal_world,     # 11:14
+            geom.tangent_world,    # 14:17
+            geom.bitangent_world,  # 17:20
+            geom.sticker_uv,       # 20:22
+            geom.pix_hom,          # 22:25
+        ],
+        axis=-1,
+    )  # (VI, 25)
+    vals = packed[f]  # (H, W, 3, 25) — the one big gather
 
     # --- differentiable barycentrics: recompute E_k from vertex coords ----
-    ph = geom.pix_hom[f]  # (H, W, 3, 3)
+    ph = vals[..., 22:25]  # (H, W, 3, 3)
     xs = jnp.arange(W, dtype=jnp.float32) + 0.5
     ys = jnp.arange(H, dtype=jnp.float32) + 0.5
     pix = jnp.stack(
@@ -134,20 +157,37 @@ def shade(
     Esum = E.sum(-1, keepdims=True)
     bary = E / jnp.where(jnp.abs(Esum) < 1e-20, 1.0, Esum)  # (H, W, 3)
 
-    # --- interpolate geometry ------------------------------------------------
-    obj_coords = _interp(geom.obj_coords, f, bary)
-    world = _interp(geom.world, f, bary)
-    cam_coords = _interp(geom.cam, f, bary)
-    uv = _interp(atlas.texcoords, f, bary)
-    n_world = m.normalize(_interp(geom.normal_world, f, bary))
-    t_world = _interp(geom.tangent_world, f, bary)
-    b_world = _interp(geom.bitangent_world, f, bary)
-    sticker_uv = _interp(geom.sticker_uv, f, bary)
+    # --- interpolate geometry (single fused weighted sum over the packed
+    # table, then slice) -----------------------------------------------------
+    interp = (vals * bary[..., None]).sum(axis=2)  # (H, W, 25)
+    obj_coords = interp[..., 0:3]
+    world = interp[..., 3:6]
+    cam_coords = interp[..., 6:9]
+    uv = interp[..., 9:11]
+    n_world = m.normalize(interp[..., 11:14])
+    t_world = interp[..., 14:17]
+    b_world = interp[..., 17:20]
+    sticker_uv = interp[..., 20:22]
     depth = cam_coords[..., 2]
 
-    # --- material resolve -----------------------------------------------------
-    base_color = atlas.mat_base_color[mat]  # (H, W, 4)
-    base_tex = atlas.mat_base_tex[mat]
+    # --- material resolve (one packed material-table gather) -----------------
+    mat_table = jnp.concatenate(
+        [
+            atlas.mat_base_color,                       # 0:4
+            atlas.mat_emissive,                         # 4:7
+            atlas.mat_metallic[:, None],                # 7
+            atlas.mat_roughness[:, None],               # 8
+            atlas.mat_alpha_cutoff[:, None],            # 9
+            atlas.mat_base_tex[:, None].astype(jnp.float32),      # 10
+            atlas.mat_mr_tex[:, None].astype(jnp.float32),        # 11
+            atlas.mat_normal_tex[:, None].astype(jnp.float32),    # 12
+            atlas.mat_emissive_tex[:, None].astype(jnp.float32),  # 13
+        ],
+        axis=1,
+    )
+    mt = mat_table[mat]  # (H, W, 14)
+    base_color = mt[..., 0:4]
+    base_tex = mt[..., 10].astype(jnp.int32)
     tex_rgba = sample_texture(atlas.textures, base_tex, uv)
     base_color = jnp.where((base_tex >= 0)[..., None], base_color * tex_rgba, base_color)
 
@@ -165,11 +205,11 @@ def shade(
     # (round 1: sticker texture id == -1 unless set; stored per-object in
     # mat_base_tex-like side table is future work; blend handled when present)
 
-    alpha_ok = base_color[..., 3] >= atlas.mat_alpha_cutoff[mat]
+    alpha_ok = base_color[..., 3] >= mt[..., 9]
 
-    metallic = atlas.mat_metallic[mat]
-    roughness = atlas.mat_roughness[mat]
-    mr_tex = atlas.mat_mr_tex[mat]
+    metallic = mt[..., 7]
+    roughness = mt[..., 8]
+    mr_tex = mt[..., 11].astype(jnp.int32)
     mr = sample_texture(atlas.textures, mr_tex, uv)
     # glTF: G channel roughness, B channel metallic (frag:283-287 uses .yz)
     roughness = jnp.where(mr_tex >= 0, roughness * mr[..., 1], roughness)
@@ -181,13 +221,13 @@ def shade(
     roughness = jnp.where(o_roughness >= 0, o_roughness, roughness)
     roughness = jnp.maximum(roughness, MIN_ROUGHNESS)
 
-    emissive = atlas.mat_emissive[mat]
-    em_tex = atlas.mat_emissive_tex[mat]
+    emissive = mt[..., 4:7]
+    em_tex = mt[..., 13].astype(jnp.int32)
     em = sample_texture(atlas.textures, em_tex, uv)
     emissive = jnp.where((em_tex >= 0)[..., None], emissive * em[..., :3] ** 2.2, emissive)
 
     # normal mapping (frag:259-270)
-    nm_tex = atlas.mat_normal_tex[mat]
+    nm_tex = mt[..., 12].astype(jnp.int32)
     nm = sample_texture(atlas.textures, nm_tex, uv)[..., :3] * 2.0 - 1.0
     mapped = m.normalize(
         nm[..., 0:1] * t_world + nm[..., 1:2] * b_world + nm[..., 2:3] * n_world
