@@ -60,6 +60,7 @@ def rasterize_vertices(
     fine_chunk: int,
     min_depth: jax.Array | None,
     pixel_stage: bool = True,
+    use_pallas: bool | None = None,
 ):
     """Core binned z-buffer. Returns (depth, tri_id, front) images; callers
     recompute barycentrics for the winners (differentiably, in shading).
@@ -203,8 +204,42 @@ def rasterize_vertices(
     Lz = (Lf * depth_attr[:, :, None]).sum(axis=1)  # (F, 3)
     Lcat = jnp.concatenate([Lf.reshape(-1, 9), Lsum, Lz], axis=1)  # (F, 15)
 
+    if use_pallas is None:
+        # the Pallas fine stage needs a real TPU (no interpret-mode fallback)
+        use_pallas = jax.devices()[0].platform == "tpu"
+
     n_chunks = -(-K // fine_chunk)
     pad_k = n_chunks * fine_chunk - K
+
+    if use_pallas:
+        from ..ops.fine_raster import fine_raster_pallas
+
+        ids_masked = jnp.where(tile_ok, tile_tris, -1)
+        ids_c = jnp.pad(ids_masked, ((0, 0), (0, pad_k)), constant_values=-1)
+        ids_c = ids_c.reshape(n_tiles, n_chunks, fine_chunk)
+        Lc = Lcat[jnp.maximum(tile_tris, 0)]  # (n_tiles, K, 15)
+        Lc = jnp.pad(Lc, ((0, 0), (0, pad_k), (0, 0)))
+        Lc = Lc.reshape(n_tiles, n_chunks, fine_chunk, 15)
+        # rows ordered [L0 | L1 | L2 | Lsum | Lz] within each chunk
+        A = jnp.concatenate(
+            [Lc[..., 0:3], Lc[..., 3:6], Lc[..., 6:9], Lc[..., 9:12], Lc[..., 12:15]],
+            axis=2,
+        )  # (n_tiles, n_chunks, 5C, 3)
+        depth_t, tri_t = fine_raster_pallas(
+            A, Pmat, ids_c, md_tiles, float(near), float(far), fine_chunk
+        )
+        depth_img = untile_img(depth_t, tw, th, pad_h, pad_w, height, width)
+        tri_img = untile_img(tri_t, tw, th, pad_h, pad_w, height, width)
+        if pixel_stage:
+            depth_img, tri_img = _pixel_stage(
+                v, Lf, depth_attr, tiny, x0, y0, width, height, near, far,
+                min_depth
+                if min_depth is not None
+                else jnp.zeros((height, width), jnp.float32),
+                depth_img, tri_img,
+            )
+        return depth_img, tri_img
+
     tile_tris_c = (
         jnp.pad(tile_tris, ((0, 0), (0, pad_k)))
         .reshape(n_tiles, n_chunks, fine_chunk)
@@ -267,15 +302,8 @@ def rasterize_vertices(
 
     (depth_t, tri_t), _ = jax.lax.scan(chunk_step, init, (tile_tris_c, tile_ok_c))
 
-    def untile(x):
-        return (
-            x.reshape(th, tw, TILE, TILE)
-            .transpose(0, 2, 1, 3)
-            .reshape(pad_h, pad_w)[:height, :width]
-        )
-
-    depth_img = untile(depth_t)
-    tri_img = untile(tri_t)
+    depth_img = untile_img(depth_t, tw, th, pad_h, pad_w, height, width)
+    tri_img = untile_img(tri_t, tw, th, pad_h, pad_w, height, width)
 
     # ---- exact per-pixel stage for tiny triangles -----------------------------
     if pixel_stage:
@@ -287,6 +315,15 @@ def rasterize_vertices(
             depth_img, tri_img,
         )
     return depth_img, tri_img
+
+
+def untile_img(x, tw, th, pad_h, pad_w, height, width):
+    """(n_tiles, PIX) tile-major -> (H, W) image."""
+    return (
+        x.reshape(th, tw, TILE, TILE)
+        .transpose(0, 2, 1, 3)
+        .reshape(pad_h, pad_w)[:height, :width]
+    )
 
 
 def _pixel_stage(
@@ -391,6 +428,7 @@ def rasterize_tiled(
     fine_chunk: int = 64,
     min_depth: jax.Array | None = None,
     pixel_stage: bool | None = None,
+    use_pallas: bool | None = None,
 ) -> GBuffer:
     faces = atlas.faces
     v = geom.pix_hom[faces]  # (F, 3, 3)
@@ -402,6 +440,7 @@ def rasterize_tiled(
     depth_img, tri_img = rasterize_vertices(
         v, v[..., 2], visible, width, height, near, far,
         tile_capacity, big_capacity, fine_chunk, min_depth, pixel_stage,
+        use_pallas,
     )
     bary, front = _winner_attributes(v, depth_img, tri_img, width, height)
     return jax.lax.stop_gradient(
