@@ -55,6 +55,7 @@ class SceneAtlas(NamedTuple):
 
     # per-object static
     obj_class: jax.Array  # (NB,) i32
+    obj_sticker_tex: jax.Array  # (NB,) i32 texture id, -1 = no sticker
     num_objects: int  # static python int (incl. background plane slot if any)
 
 
@@ -90,7 +91,7 @@ def _resample_texture(img: np.ndarray, size: int = TEXTURE_SIZE) -> np.ndarray:
     return arr
 
 
-def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:
+def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C901
     """Build the static atlas from host Objects.
 
     ``background_plane``: optional dict(size (2,), texture (H,W,4) u8 or None)
@@ -168,7 +169,10 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:
 
     v_off = 0
     all_objects = list(objects)
+    sticker_tex_ids = []
     for oi, obj in enumerate(all_objects):
+        st = getattr(obj, "sticker_texture", None)
+        sticker_tex_ids.append(add_texture(st.pixels) if st is not None else -1)
         c = obj.mesh.consolidated
         nv = c.num_vertices
         positions = c.positions
@@ -238,6 +242,7 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:
         )
         fmat_l.append(np.full(2, len(mats) - 1, np.int32))
         obj_class.append(0)
+        sticker_tex_ids.append(-1)
         v_off += 4
         nb += 1
 
@@ -261,6 +266,7 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:
         fobj_l.append(np.zeros(1, np.int32))
         fmat_l.append(np.zeros(1, np.int32))
         obj_class.append(0)
+        sticker_tex_ids.append(-1)
         nb = max(nb, 1)
 
     if not textures:
@@ -288,6 +294,7 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:
         mat_emissive_tex=jnp.asarray(np.array([mt["emissive_tex"] for mt in mats], np.int32)),
         textures=jnp.asarray(np.stack(textures)),
         obj_class=jnp.asarray(np.array(obj_class, np.int32)),
+        obj_sticker_tex=jnp.asarray(np.array(sticker_tex_ids, np.int32)),
         num_objects=nb,
     )
 

@@ -191,19 +191,25 @@ def shade(
     tex_rgba = sample_texture(atlas.textures, base_tex, uv)
     base_color = jnp.where((base_tex >= 0)[..., None], base_color * tex_rgba, base_color)
 
-    # sticker blend (frag:248-256)
-    srange = inputs.sticker_range[obj]
-    has_sticker = jnp.any(jnp.abs(srange[..., 2:]) > 0, axis=-1)
+    # sticker blend (frag:248-256): inside the projected sticker frame,
+    # alpha-blend the sticker texture over the base color
+    sticker_tex = atlas.obj_sticker_tex[obj]
     in_sticker = (
-        has_sticker
+        (sticker_tex >= 0)
         & (sticker_uv[..., 0] >= 0)
         & (sticker_uv[..., 1] >= 0)
         & (sticker_uv[..., 0] < 1)
         & (sticker_uv[..., 1] < 1)
     )
-    # sticker textures ride in the shared texture stack via obj slot table
-    # (round 1: sticker texture id == -1 unless set; stored per-object in
-    # mat_base_tex-like side table is future work; blend handled when present)
+    sticker_rgba = sample_texture(atlas.textures, sticker_tex, sticker_uv)
+    blend = jnp.where(in_sticker, sticker_rgba[..., 3], 0.0)[..., None]
+    base_color = jnp.concatenate(
+        [
+            base_color[..., :3] * (1 - blend) + sticker_rgba[..., :3] * blend,
+            base_color[..., 3:],
+        ],
+        axis=-1,
+    )
 
     alpha_ok = base_color[..., 3] >= mt[..., 9]
 

@@ -207,3 +207,27 @@ def test_draw_predicate(cube_glb):
     inst = np.asarray(res.instance_index())
     assert (inst == 1).sum() > 0
     assert (inst == 2).sum() == 0
+
+
+def test_sticker(cube_glb):
+    """Sticker projection + blend (reference src/object.cpp:494-513,
+    render_shader.frag:248-256)."""
+    mesh = sl.Mesh(cube_glb, physics=False)
+    scene = sl.Scene((64, 64))
+    obj = sl.Object(mesh)
+    scene.add_object(obj)
+    scene.set_camera_look_at([4.0, 0.0, 0.0], [0.0, 0.0, 0.0])
+
+    sticker = np.zeros((16, 16, 4), np.uint8)
+    sticker[:, :, 0] = 255  # opaque red
+    sticker[:, :, 3] = 255
+    obj.sticker_texture = sl.Texture(sticker)
+    obj.sticker_range = [0.25, 0.25, 0.5, 0.5]
+
+    res = sl.RenderPass(shading="flat").render(scene)
+    rgb = np.asarray(res.rgb())
+    inst = np.asarray(res.instance_index())
+    on = inst == 1
+    reds = (rgb[..., 0] > 200) & (rgb[..., 1] < 100) & on
+    assert reds.sum() > 4, "sticker not visible"
+    assert reds.sum() < on.sum(), "sticker covers the whole object"
