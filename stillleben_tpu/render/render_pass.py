@@ -127,8 +127,8 @@ class RenderPass:
         light_map_data = None
         if lm is not None and lm.data is not None:
             light_map_data = lm.data
-            dirs = np.asarray(inputs.light_directions)
-            cols = np.asarray(inputs.light_colors)
+            dirs = np.array(inputs.light_directions)  # writable copies
+            cols = np.array(inputs.light_colors)
             li = 0
             for d, c in zip(lm.light_directions, lm.light_colors):
                 while li < len(dirs) and (np.any(dirs[li]) or np.any(cols[li])):
