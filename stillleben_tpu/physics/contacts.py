@@ -134,13 +134,26 @@ def pair_contacts(
     state: BodyState,
     params: BodyParams,
     pairs: jax.Array,  # (NP, 2) i32 static candidate list
+    max_narrow_pairs: int = 1024,
 ) -> Contacts:
-    """SAT face-normal contacts for hull pairs."""
+    """SAT face-normal contacts for hull pairs.
+
+    When the static candidate list exceeds ``max_narrow_pairs``, a broadphase
+    top-K by bounding-sphere overlap prunes it first — the (K, PH, VH) SAT
+    tensors stay bounded no matter how many hulls the scene has (the role of
+    PhysX's broadphase ahead of its narrowphase)."""
     wv = world_hull_verts(atlas, state)  # (NH, VH, 3)
     wp = world_hull_planes(atlas, state)  # (NH, PH, 4)
     wc = jnp.einsum(
         "hij,hj->hi", m.quat_to_matrix(state.quat[atlas.hull_body]), atlas.center
     ) + state.pos[atlas.hull_body]
+
+    if pairs.shape[0] > max_narrow_pairs:
+        pa, pb = pairs[:, 0], pairs[:, 1]
+        d = jnp.linalg.norm(wc[pa] - wc[pb], axis=-1)
+        overlap_score = atlas.radius[pa] + atlas.radius[pb] - d
+        _, keep = jax.lax.top_k(overlap_score, max_narrow_pairs)
+        pairs = pairs[keep]
 
     ia, ib = pairs[:, 0], pairs[:, 1]
     # broadphase: bounding spheres
