@@ -67,6 +67,9 @@ def main():
     from stillleben_tpu.render.frame import FrameConfig
 
     tpl = build_template()
+    import numpy as np
+
+    has_tex = bool((np.asarray(tpl.render_atlas.mat_base_tex) >= 0).any())
     # chunk sized so the rasterizer's per-chunk edge tensor stays ~1 GB
     # across the vmapped batch: B x C x 3 x H x W x 4B
     chunk = int(os.environ.get("BENCH_CHUNK", "64"))
@@ -77,6 +80,8 @@ def main():
         shadow_size=int(os.environ.get("BENCH_SHADOW", "256")),
         tile_capacity=int(os.environ.get("BENCH_TILE_CAP", "128")),
         fine_chunk=int(os.environ.get("BENCH_FINE_CHUNK", "32")),
+        sample_textures=has_tex,
+        sample_stickers=False,
     )
     solver_cfg = default_config()
 

@@ -33,6 +33,8 @@ class FrameConfig(NamedTuple):
     shadow_size: int = 512
     max_lights: int = 3  # STATIC cap on shaded/shadowed light slots
     fine_chunk: int = 64  # triangles per fine-raster scan step (memory knob)
+    sample_textures: bool = True  # STATIC: skip texture fetches when none exist
+    sample_stickers: bool = True
 
 
 class RenderedFrame(NamedTuple):
@@ -93,6 +95,8 @@ def render_frame_core(
         shadow_maps=shadow_maps,
         shadow_matrices=shadow_matrices,
         max_lights=cfg.max_lights,
+        sample_textures=cfg.sample_textures,
+        sample_stickers=cfg.sample_stickers,
     )
 
     # SSAO (multiplies object RGB, reference render_pass.cpp:662-694)

@@ -142,6 +142,15 @@ class RenderPass:
                 light_directions=jnp.asarray(dirs), light_colors=jnp.asarray(cols)
             )
 
+        import numpy as _np
+
+        has_tex = bool(
+            (_np.asarray(atlas.mat_base_tex) >= 0).any()
+            or (_np.asarray(atlas.mat_mr_tex) >= 0).any()
+            or (_np.asarray(atlas.mat_normal_tex) >= 0).any()
+            or (_np.asarray(atlas.mat_emissive_tex) >= 0).any()
+        )
+        has_sticker = bool((_np.asarray(atlas.obj_sticker_tex) >= 0).any())
         W, H = scene.viewport
         # tile capacity scales with triangle density: dense scanned meshes
         # (e.g. the 69k-triangle bunny) have many sub-pixel triangles per
@@ -156,6 +165,8 @@ class RenderPass:
             shading=self._shading,
             ssao=self.ssao_enabled,
             tile_capacity=tile_capacity,
+            sample_textures=has_tex,
+            sample_stickers=has_sticker,
         )
 
         bg_image = None

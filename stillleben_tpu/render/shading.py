@@ -104,6 +104,8 @@ def shade(
     shadow_maps=None,
     shadow_matrices=None,
     max_lights: int = 3,
+    sample_textures: bool = True,
+    sample_stickers: bool = True,
 ) -> FrameOutputs:
     H, W = gbuf.tri_id.shape
     valid = gbuf.tri_id >= 0
@@ -187,39 +189,44 @@ def shade(
     )
     mt = mat_table[mat]  # (H, W, 14)
     base_color = mt[..., 0:4]
-    base_tex = mt[..., 10].astype(jnp.int32)
-    tex_rgba = sample_texture(atlas.textures, base_tex, uv)
-    base_color = jnp.where((base_tex >= 0)[..., None], base_color * tex_rgba, base_color)
+    if sample_textures:
+        base_tex = mt[..., 10].astype(jnp.int32)
+        tex_rgba = sample_texture(atlas.textures, base_tex, uv)
+        base_color = jnp.where(
+            (base_tex >= 0)[..., None], base_color * tex_rgba, base_color
+        )
 
     # sticker blend (frag:248-256): inside the projected sticker frame,
     # alpha-blend the sticker texture over the base color
-    sticker_tex = atlas.obj_sticker_tex[obj]
-    in_sticker = (
-        (sticker_tex >= 0)
-        & (sticker_uv[..., 0] >= 0)
-        & (sticker_uv[..., 1] >= 0)
-        & (sticker_uv[..., 0] < 1)
-        & (sticker_uv[..., 1] < 1)
-    )
-    sticker_rgba = sample_texture(atlas.textures, sticker_tex, sticker_uv)
-    blend = jnp.where(in_sticker, sticker_rgba[..., 3], 0.0)[..., None]
-    base_color = jnp.concatenate(
-        [
-            base_color[..., :3] * (1 - blend) + sticker_rgba[..., :3] * blend,
-            base_color[..., 3:],
-        ],
-        axis=-1,
-    )
+    if sample_stickers:
+        sticker_tex = atlas.obj_sticker_tex[obj]
+        in_sticker = (
+            (sticker_tex >= 0)
+            & (sticker_uv[..., 0] >= 0)
+            & (sticker_uv[..., 1] >= 0)
+            & (sticker_uv[..., 0] < 1)
+            & (sticker_uv[..., 1] < 1)
+        )
+        sticker_rgba = sample_texture(atlas.textures, sticker_tex, sticker_uv)
+        blend = jnp.where(in_sticker, sticker_rgba[..., 3], 0.0)[..., None]
+        base_color = jnp.concatenate(
+            [
+                base_color[..., :3] * (1 - blend) + sticker_rgba[..., :3] * blend,
+                base_color[..., 3:],
+            ],
+            axis=-1,
+        )
 
     alpha_ok = base_color[..., 3] >= mt[..., 9]
 
     metallic = mt[..., 7]
     roughness = mt[..., 8]
-    mr_tex = mt[..., 11].astype(jnp.int32)
-    mr = sample_texture(atlas.textures, mr_tex, uv)
-    # glTF: G channel roughness, B channel metallic (frag:283-287 uses .yz)
-    roughness = jnp.where(mr_tex >= 0, roughness * mr[..., 1], roughness)
-    metallic = jnp.where(mr_tex >= 0, metallic * mr[..., 2], metallic)
+    if sample_textures:
+        mr_tex = mt[..., 11].astype(jnp.int32)
+        mr = sample_texture(atlas.textures, mr_tex, uv)
+        # glTF: G channel roughness, B channel metallic (frag:283-287 uses .yz)
+        roughness = jnp.where(mr_tex >= 0, roughness * mr[..., 1], roughness)
+        metallic = jnp.where(mr_tex >= 0, metallic * mr[..., 2], metallic)
     # per-object overrides applied last (render_shader.cpp:373-378)
     o_metallic = inputs.obj_metallic[obj]
     o_roughness = inputs.obj_roughness[obj]
@@ -228,17 +235,22 @@ def shade(
     roughness = jnp.maximum(roughness, MIN_ROUGHNESS)
 
     emissive = mt[..., 4:7]
-    em_tex = mt[..., 13].astype(jnp.int32)
-    em = sample_texture(atlas.textures, em_tex, uv)
-    emissive = jnp.where((em_tex >= 0)[..., None], emissive * em[..., :3] ** 2.2, emissive)
+    if sample_textures:
+        em_tex = mt[..., 13].astype(jnp.int32)
+        em = sample_texture(atlas.textures, em_tex, uv)
+        emissive = jnp.where(
+            (em_tex >= 0)[..., None], emissive * em[..., :3] ** 2.2, emissive
+        )
 
-    # normal mapping (frag:259-270)
-    nm_tex = mt[..., 12].astype(jnp.int32)
-    nm = sample_texture(atlas.textures, nm_tex, uv)[..., :3] * 2.0 - 1.0
-    mapped = m.normalize(
-        nm[..., 0:1] * t_world + nm[..., 1:2] * b_world + nm[..., 2:3] * n_world
-    )
-    normal = jnp.where((nm_tex >= 0)[..., None], mapped, n_world)
+        # normal mapping (frag:259-270)
+        nm_tex = mt[..., 12].astype(jnp.int32)
+        nm = sample_texture(atlas.textures, nm_tex, uv)[..., :3] * 2.0 - 1.0
+        mapped = m.normalize(
+            nm[..., 0:1] * t_world + nm[..., 1:2] * b_world + nm[..., 2:3] * n_world
+        )
+        normal = jnp.where((nm_tex >= 0)[..., None], mapped, n_world)
+    else:
+        normal = n_world
     # back-face flip (frag:272-273)
     normal = jnp.where(gbuf.front_facing[..., None], normal, -normal)
 
