@@ -212,14 +212,15 @@ def solve_contacts(
         v = _rel_velocity(contacts, kin, lin, ang)
         max_f = contacts.friction * new_acc_n
         vt1 = jnp.einsum("ci,ci->c", v, t1)
-        d_t1 = -relax * vt1 * m_t1
+        d_t1 = -vt1 * m_t1  # tangential: full step (drift hurts more than
+        # overshoot; the clamp to the friction cone bounds it)
         new_acc_t1 = jnp.clip(acc_t1 + d_t1, -max_f, max_f)
         d_t1 = new_acc_t1 - acc_t1
         lin, ang = _apply_impulse(contacts, kin, lin, ang, d_t1[:, None] * t1)
 
         v = _rel_velocity(contacts, kin, lin, ang)
         vt2 = jnp.einsum("ci,ci->c", v, t2)
-        d_t2 = -relax * vt2 * m_t2
+        d_t2 = -vt2 * m_t2
         new_acc_t2 = jnp.clip(acc_t2 + d_t2, -max_f, max_f)
         d_t2 = new_acc_t2 - acc_t2
         lin, ang = _apply_impulse(contacts, kin, lin, ang, d_t2[:, None] * t2)

@@ -94,7 +94,7 @@ class SolverConfig(NamedTuple):
     rest_offset: float = 0.0015  # reference src/object.cpp restOffset
     restitution_threshold: float = 0.2  # m/s below which no bounce
     max_contacts_per_hull_pair: int = 8
-    max_depenetration_velocity: float = 2.0  # m/s cap on Baumgarte push-out
+    max_depenetration_velocity: float = 0.5  # m/s cap on Baumgarte push-out
     linear_damping: float = 0.0  # 1/s (PhysX default: 0)
     angular_damping: float = 0.05
     relaxation: float = 0.9  # Jacobi under-relaxation factor
