@@ -148,3 +148,32 @@ def test_pose_rigidity_check():
         scene.objects[0].set_pose(bad)
     with pytest.raises(ValueError):
         scene.set_camera_pose(bad)
+
+
+def test_find_noncolliding_pose_viewpoint():
+    """Viewpoint sampler: object's +X axis faces the camera
+    (reference pose.h:132-192)."""
+    scene = _cube_scene(1, scale=0.3, seed=9)
+    obj = scene.objects[0]
+    ok = scene.find_noncolliding_pose(
+        obj, sampler="viewpoint", viewpoint=[1.0, 0.0, 0.0], max_iterations=5
+    )
+    assert ok
+    T = obj.pose()
+    # the object axis mapped from the viewpoint points at the camera (origin)
+    view_dir = -T[:3, 3] / np.linalg.norm(T[:3, 3])
+    obj_axis_world = T[:3, :3] @ np.array([1.0, 0.0, 0.0])
+    assert float(obj_axis_world @ view_dir) > 0.99
+
+
+def test_place_object_randomly_in_frustum():
+    scene = sl.Scene((320, 240))
+    scene.seed(12)
+    P = scene.projection_matrix()
+    for _ in range(10):
+        T = scene.place_object_randomly(diameter=0.2)
+        x, y, z = T[:3, 3]
+        # inside 80% of the frustum (reference pose.h:56-99)
+        assert z > 0
+        assert abs(x) <= 0.8 * z / P[0, 0] + 1e-5
+        assert abs(y) <= 0.8 * z / P[1, 1] + 1e-5
