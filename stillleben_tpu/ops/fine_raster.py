@@ -77,7 +77,7 @@ def _kernel(a_ref, p_ref, ids_ref, md_ref, w_ref, t_ref, *, near, far, chunk):
         w_ref[0, 0] = jnp.where(better, bw, w_ref[0, 0])
 
 
-@functools.partial(jax.jit, static_argnames=("near", "far", "chunk"))
+@functools.partial(jax.jit, static_argnames=("near", "far", "chunk", "interpret"))
 def fine_raster_pallas(
     A: jax.Array,  # (n_tiles, n_chunks, 5C, 3) packed line coefficients
     Pmat: jax.Array,  # (n_tiles, 3, PIX) pixel matrix
@@ -86,6 +86,7 @@ def fine_raster_pallas(
     near: float,
     far: float,
     chunk: int,
+    interpret: bool = False,
 ):
     n_tiles, n_chunks = A.shape[0], A.shape[1]
     kernel = functools.partial(_kernel, near=near, far=far, chunk=chunk)
@@ -115,5 +116,6 @@ def fine_raster_pallas(
             jax.ShapeDtypeStruct((n_tiles, 1, PIX), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, PIX), jnp.int32),
         ),
+        interpret=interpret,
     )(A, Pmat, ids4, md3)
     return w[:, 0], t[:, 0]

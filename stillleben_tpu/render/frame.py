@@ -35,6 +35,8 @@ class FrameConfig(NamedTuple):
     fine_chunk: int = 64  # triangles per fine-raster scan step (memory knob)
     sample_textures: bool = True  # STATIC: skip texture fetches when none exist
     sample_stickers: bool = True
+    use_pallas: bool | None = None  # None = auto (TPU yes, CPU no);
+    # True off-TPU runs the kernel in interpret mode (tests/CI)
 
 
 class RenderedFrame(NamedTuple):
@@ -81,6 +83,7 @@ def render_frame_core(
             tile_capacity=cfg.tile_capacity, big_capacity=cfg.big_capacity,
             fine_chunk=cfg.fine_chunk,
             min_depth=depth_peel_depth,
+            use_pallas=cfg.use_pallas,
         )
     else:
         gbuf = rasterize(

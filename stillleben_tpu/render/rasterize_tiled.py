@@ -205,7 +205,6 @@ def rasterize_vertices(
     Lcat = jnp.concatenate([Lf.reshape(-1, 9), Lsum, Lz], axis=1)  # (F, 15)
 
     if use_pallas is None:
-        # the Pallas fine stage needs a real TPU (no interpret-mode fallback)
         use_pallas = jax.devices()[0].platform == "tpu"
 
     n_chunks = -(-K // fine_chunk)
@@ -225,8 +224,20 @@ def rasterize_vertices(
             [Lc[..., 0:3], Lc[..., 3:6], Lc[..., 6:9], Lc[..., 9:12], Lc[..., 12:15]],
             axis=2,
         )  # (n_tiles, n_chunks, 5C, 3)
+        # Hard-raster visibility is non-differentiable by design (the
+        # reference's trick too: gradients flow only through the
+        # barycentrics recomputed in shading). Stop tangents BEFORE the
+        # pallas_call — JVP tracing of a pallas_call is unsupported, and
+        # with all-zero tangents JAX skips the JVP rule entirely.
+        A = jax.lax.stop_gradient(A)
+        Pm = jax.lax.stop_gradient(Pmat)
+        mdt = jax.lax.stop_gradient(md_tiles)
+        # off-TPU (tests, CPU CI) the kernel runs in interpret mode so the
+        # Pallas path is exercised without hardware
+        interpret = jax.devices()[0].platform != "tpu"
         depth_t, tri_t = fine_raster_pallas(
-            A, Pmat, ids_c, md_tiles, float(near), float(far), fine_chunk
+            A, Pm, ids_c, mdt, float(near), float(far), fine_chunk,
+            interpret=interpret,
         )
         depth_img = untile_img(depth_t, tw, th, pad_h, pad_w, height, width)
         tri_img = untile_img(tri_t, tw, th, pad_h, pad_w, height, width)

@@ -26,6 +26,7 @@ def _ortho_rasterize_depth(
     faces: jax.Array,  # (F, 3)
     tri_on: jax.Array,  # (F,)
     size: int,
+    use_pallas: bool | None = None,
 ) -> jax.Array:
     """Depth-only ortho rasterization -> (size, size) min-depth map (1 = far).
 
@@ -40,6 +41,7 @@ def _ortho_rasterize_depth(
         near=-1e-3, far=1.0,
         tile_capacity=512, big_capacity=64, fine_chunk=64,
         min_depth=None,
+        use_pallas=use_pallas,
     )
     return jnp.minimum(depth_img, 1.0)
 
@@ -101,7 +103,8 @@ def render_shadow_maps(atlas: SceneAtlas, inputs: RenderInputs, geom, cfg):
         depth_map = jax.lax.cond(
             light_on,
             lambda: _ortho_rasterize_depth(
-                jnp.stack([u, v], -1), z, atlas.faces, tri_on, size
+                jnp.stack([u, v], -1), z, atlas.faces, tri_on, size,
+                use_pallas=getattr(cfg, "use_pallas", None),
             ),
             lambda: jnp.ones((size, size), jnp.float32),
         )

@@ -1,0 +1,88 @@
+"""Pallas fine-raster kernel coverage on CPU via interpret mode.
+
+Round-1 gaps closed here: the kernel used to run only on real TPU (no CPU
+test existed), and JVP tracing through the pallas_call crashed the
+differentiable render path on TPU. These tests (a) force the Pallas path in
+interpret mode and assert pixel agreement with the XLA scan fallback, and
+(b) run jax.value_and_grad through the full render program with Pallas on —
+gradients must flow via the recomputed barycentrics in shading (hard-raster
+visibility is stop-gradient by design, same as the reference's Sobel-diff
+scheme, python/stillleben/diff.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import stillleben_tpu as sl
+from stillleben_tpu.parallel.batch import (
+    apply_pose_delta_matrix,
+    render_with_poses,
+    settle_scene,
+    template_from_scene,
+)
+from stillleben_tpu.physics.types import default_config
+from stillleben_tpu.render.frame import FrameConfig
+
+# small shadow maps: interpret mode walks the pallas grid in Python
+_BASE = dict(
+    width=48, height=48, shading="pbr", ssao=False, max_lights=1,
+    chunk=64, shadow_size=64,
+)
+CFG_PALLAS = FrameConfig(use_pallas=True, **_BASE)
+CFG_XLA = FrameConfig(use_pallas=False, **_BASE)
+
+
+@pytest.fixture(scope="module")
+def settled():
+    scene = sl.Scene((48, 48))
+    scene.seed(0)
+    cube = sl.Mesh("primitive://cube")
+    cube.scale_to_bbox_diagonal(0.25)
+    cube.class_index = 1
+    sph = sl.Mesh("primitive://sphere")
+    sph.scale_to_bbox_diagonal(0.3)
+    sph.class_index = 2
+    scene.add_object(sl.Object(cube))
+    scene.add_object(sl.Object(sph))
+    tpl = template_from_scene(scene)
+    poses, cam, light = settle_scene(
+        jax.random.PRNGKey(5), tpl, default_config(), settle_iterations=10
+    )
+    return tpl, poses, cam, light
+
+
+def test_pallas_matches_xla_rasterizer(settled):
+    tpl, poses, cam, light = settled
+    fp = render_with_poses(tpl, poses, cam, CFG_PALLAS, light)
+    fx = render_with_poses(tpl, poses, cam, CFG_XLA, light)
+
+    inst_p = np.asarray(fp.instance_index)
+    inst_x = np.asarray(fx.instance_index)
+    assert (inst_x > 0).sum() > 20, "scene unexpectedly empty"
+    # identical z-buffer semantics; allow rare tie-break differences
+    mismatch = (inst_p != inst_x).mean()
+    assert mismatch < 0.005, f"instance mismatch fraction {mismatch}"
+    dp = np.asarray(fp.depth)
+    dx = np.asarray(fx.depth)
+    agree = inst_p == inst_x
+    np.testing.assert_allclose(dp[agree], dx[agree], rtol=1e-5, atol=1e-5)
+
+
+def test_grad_through_pallas_render(settled):
+    tpl, poses, cam, light = settled
+    target = render_with_poses(tpl, poses, cam, CFG_PALLAS, light).hdr
+
+    def loss(delta):
+        perturbed = jax.vmap(apply_pose_delta_matrix)(poses, delta)
+        img = render_with_poses(tpl, perturbed, cam, CFG_PALLAS, light).hdr
+        w = jax.lax.stop_gradient(target[..., 3:])
+        return jnp.sum(w * (img[..., :3] - target[..., :3]) ** 2)
+
+    delta0 = jnp.zeros((poses.shape[0], 6), jnp.float32).at[:, 5].set(0.02)
+    val, g = jax.value_and_grad(loss)(delta0)
+    g = np.asarray(g)
+    assert np.isfinite(float(val))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0, "gradient is identically zero"
