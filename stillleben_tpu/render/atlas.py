@@ -26,6 +26,14 @@ from ..core import math as m
 TEXTURE_SIZE = 256  # all material textures resampled to this (round-1: no mips)
 
 
+COMBO_CHANNELS = 16
+# combined material texture channel map (see build: _build_combo_stack):
+# 0:4 base RGBA (linear), 4 roughness mult (glTF G), 5 metallic mult (glTF B),
+# 6:9 normal map RGB raw [0,1], 9:12 emissive RGB (linear), 12:16 pad.
+# Neutral fills make per-pixel presence flags unnecessary: base=1, mr=1,
+# normal=(.5,.5,1) -> tangent-space (0,0,1), emissive=1.
+
+
 class SceneAtlas(NamedTuple):
     # instanced vertex data (VI = sum over objects of their mesh's verts)
     positions: jax.Array  # (VI, 3) f32 RAW mesh-frame positions
@@ -52,6 +60,12 @@ class SceneAtlas(NamedTuple):
     mat_emissive_tex: jax.Array  # (NM,) i32
 
     textures: jax.Array  # (NT, S, S, 4) f32 LINEAR
+
+    # combined material textures: all 4 glTF layers of one material packed
+    # into one 16-channel texel so the planar shader pays ONE gather set per
+    # pixel instead of four (TPU gathers cost per row)
+    tex_combo: jax.Array  # (NC, S, S, COMBO_CHANNELS) f32
+    mat_combo: jax.Array  # (NM,) i32 combo id per material
 
     # per-object static
     obj_class: jax.Array  # (NB,) i32
@@ -80,15 +94,61 @@ class RenderInputs(NamedTuple):
     sticker_range: jax.Array  # (NB, 4) x,y,w,h (zeros = no sticker)
 
 
-def _resample_texture(img: np.ndarray, size: int = TEXTURE_SIZE) -> np.ndarray:
-    """uint8 sRGB (H,W,4) -> (S,S,4) f32 linear (gamma 2.2 like the frag
-    shader's toLinear, render_shader.frag:141-148; alpha stays linear)."""
+def _resample_texture_raw(img: np.ndarray, size: int = TEXTURE_SIZE) -> np.ndarray:
+    """uint8 (H,W,4) -> (S,S,4) f32 in [0,1], NO gamma (raw texel values)."""
     from PIL import Image
 
     im = Image.fromarray(img, "RGBA").resize((size, size), Image.BILINEAR)
-    arr = np.asarray(im, np.float32) / 255.0
+    return np.asarray(im, np.float32) / 255.0
+
+
+def _resample_texture(img: np.ndarray, size: int = TEXTURE_SIZE) -> np.ndarray:
+    """uint8 sRGB (H,W,4) -> (S,S,4) f32 linear (gamma 2.2 like the frag
+    shader's toLinear, render_shader.frag:141-148; alpha stays linear)."""
+    arr = _resample_texture_raw(img, size).copy()
     arr[..., :3] = arr[..., :3] ** 2.2
     return arr
+
+
+def _build_combo_stack(mats, raw_textures, size):
+    """Per-material combined texture stack (see COMBO_CHANNELS map).
+
+    Gamma handling is per-layer and correct (unlike the legacy 4-channel
+    stack which linearizes everything): base + emissive are sRGB->linear;
+    metallic-roughness and normal maps stay raw (they are data, not color
+    — glTF 2.0 spec; the reference samples them without toLinear,
+    render_shader.frag:283-287, 259-270)."""
+    combos: dict[tuple, int] = {}
+    combo_list: list[np.ndarray] = []
+    mat_combo = []
+    for mt in mats:
+        key = (mt["base_tex"], mt["mr_tex"], mt["normal_tex"], mt["emissive_tex"])
+        if key not in combos:
+            c = np.zeros((size, size, COMBO_CHANNELS), np.float32)
+            c[..., 0:4] = 1.0
+            c[..., 4:6] = 1.0
+            c[..., 6:8] = 0.5
+            c[..., 8] = 1.0
+            c[..., 9:12] = 1.0
+            bt, mr, nm, em = key
+            if bt >= 0:
+                t = raw_textures[bt]
+                c[..., 0:3] = t[..., :3] ** 2.2
+                c[..., 3] = t[..., 3]
+            if mr >= 0:
+                t = raw_textures[mr]
+                c[..., 4] = t[..., 1]  # glTF: G = roughness
+                c[..., 5] = t[..., 2]  # glTF: B = metallic
+            if nm >= 0:
+                c[..., 6:9] = raw_textures[nm][..., :3]
+            if em >= 0:
+                c[..., 9:12] = raw_textures[em][..., :3] ** 2.2
+            combos[key] = len(combo_list)
+            combo_list.append(c)
+        mat_combo.append(combos[key])
+    if not combo_list:  # keep shapes static for untextured scenes
+        combo_list.append(np.ones((size, size, COMBO_CHANNELS), np.float32))
+    return np.stack(combo_list), np.array(mat_combo, np.int32)
 
 
 def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C901
@@ -102,6 +162,7 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
     face_l, fobj_l, fmat_l = [], [], []
     mats = []  # list of dicts
     textures: list[np.ndarray] = []
+    raw_textures: list[np.ndarray] = []
     tex_cache: dict[int, int] = {}
     obj_class = []
 
@@ -109,7 +170,11 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
         key = id(img)
         if key not in tex_cache:
             tex_cache[key] = len(textures)
-            textures.append(_resample_texture(img))
+            raw = _resample_texture_raw(img)
+            raw_textures.append(raw)
+            lin = raw.copy()
+            lin[..., :3] = lin[..., :3] ** 2.2
+            textures.append(lin)
         return tex_cache[key]
 
     def add_material(gm, images) -> int:
@@ -272,6 +337,8 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
     if not textures:
         textures.append(np.ones((4, 4, 4), np.float32))
 
+    tex_combo, mat_combo = _build_combo_stack(mats, raw_textures, TEXTURE_SIZE)
+
     return SceneAtlas(
         positions=jnp.asarray(np.concatenate(pos_l)),
         normals=jnp.asarray(np.concatenate(nrm_l)),
@@ -293,6 +360,8 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
         mat_normal_tex=jnp.asarray(np.array([mt["normal_tex"] for mt in mats], np.int32)),
         mat_emissive_tex=jnp.asarray(np.array([mt["emissive_tex"] for mt in mats], np.int32)),
         textures=jnp.asarray(np.stack(textures)),
+        tex_combo=jnp.asarray(tex_combo),
+        mat_combo=jnp.asarray(mat_combo),
         obj_class=jnp.asarray(np.array(obj_class, np.int32)),
         obj_sticker_tex=jnp.asarray(np.array(sticker_tex_ids, np.int32)),
         num_objects=nb,

@@ -406,26 +406,6 @@ def _pixel_stage(
     )
 
 
-def _winner_attributes(v, depth_img, tri_img, width, height):
-    """Recompute bary + facing for the winning triangle per pixel."""
-    tri = jnp.maximum(tri_img, 0)
-    vv = v[tri]  # (H, W, 3, 3)
-    L = _edge_lines(vv)  # (H, W, 3, 3)
-    xs = jnp.arange(width, dtype=jnp.float32) + 0.5
-    ys = jnp.arange(height, dtype=jnp.float32) + 0.5
-    E = (
-        L[..., 0] * xs[None, :, None]
-        + L[..., 1] * ys[:, None, None]
-        + L[..., 2]
-    )  # (H, W, 3)
-    Esum = E.sum(-1)
-    denom = jnp.where(jnp.abs(Esum) < 1e-20, 1.0, Esum)
-    bary = E / denom[..., None]
-    front = Esum < 0
-    valid = tri_img >= 0
-    return jnp.where(valid[..., None], bary, 0.0), front & valid
-
-
 def rasterize_tiled(
     geom: GeometryBuffers,
     atlas: SceneAtlas,
@@ -453,7 +433,14 @@ def rasterize_tiled(
         tile_capacity, big_capacity, fine_chunk, min_depth, pixel_stage,
         use_pallas,
     )
-    bary, front = _winner_attributes(v, depth_img, tri_img, width, height)
+    # bary/front are recomputed differentiably (and planar) in shading from
+    # the winning triangle's vertices — don't pay the (H, W, 3, 3) gather here
+    placeholder = jnp.zeros((height, width, 3), jnp.float32)
     return jax.lax.stop_gradient(
-        GBuffer(tri_id=tri_img, depth=depth_img, bary=bary, front_facing=front)
+        GBuffer(
+            tri_id=tri_img,
+            depth=depth_img,
+            bary=placeholder,
+            front_facing=jnp.zeros((height, width), bool),
+        )
     )

@@ -1,12 +1,30 @@
 """Deferred shading: G-buffer -> PBR color + all ground-truth buffers.
 
 Faithful port of the reference's uber fragment shader semantics
-(src/shaders/render_shader.frag) in deferred form: per-pixel gathers from the
-geometry stage outputs + dense VPU math. Covered here:
+(src/shaders/render_shader.frag) in deferred form, laid out for the TPU:
 
-- perspective-correct attribute interpolation via DIFFERENTIABLY recomputed
+**Planar (channel-plane) execution.** Every per-pixel quantity lives as an
+(H, W) plane (or a (C, H, W) stack of planes), so the VPU's 128 lanes map
+onto the image's W axis instead of a 3/4-wide channel axis — the round-1
+layout burned 124/128 lanes on every elementwise pass. Vectors are (3, H, W),
+dots are sums over the leading axis; XLA fuses the whole planar pipeline into
+a handful of full-width kernels.
+
+**One wide gather per pixel.** All per-face data — the 3 vertices' 26
+attributes each, plus the material/object constants (baked per frame,
+including the per-object metallic/roughness overrides) — is packed into one
+(F, ROW) row table, so shading pays a single row-gather per pixel (TPU
+gathers cost per row, not per byte) instead of face + vertex + material +
+texture-id gathers.
+
+**Combined material textures.** The 4 glTF layers of a material are packed
+into one 16-channel texel stack with neutral fills (atlas.tex_combo), so a
+bilinear tap is 4 gathers of 16 channels rather than 16 gathers of 4.
+
+Shader semantics covered (reference citations):
+- perspective-correct interpolation via DIFFERENTIABLY recomputed
   barycentrics (gradients flow to vertex positions/poses),
-- base color texture (gamma 2.2 -> linear), alpha cutoff, sticker blend
+- base color texture (sRGB->linear), alpha cutoff, sticker blend
   (frag:248-256), normal mapping (frag:259-270), back-face normal flip
   (frag:272-273; the reference renders without face culling),
 - Cook-Torrance GGX direct lighting per directional light (frag:313-370),
@@ -23,13 +41,22 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core import math as m
 from .atlas import RenderInputs, SceneAtlas
 from .rasterize import GBuffer, GeometryBuffers
 
 DIELECTRIC_SPECULAR = 0.04
 MIN_ROUGHNESS = 0.045
 INVALID = 3000.0  # reference render_pass.cpp:316
+
+# ---- face-row table layout --------------------------------------------------
+VS = 26  # per-vertex channel stride
+# vertex block: 0:3 obj_coords, 3:6 world, 6:9 cam, 9:11 uv, 11:14 normal,
+# 14:17 tangent, 17:20 bitangent, 20:22 sticker_uv, 22:25 pix_hom, 25 vid
+FACE = 3 * VS  # 78: face-level constants
+# 78:82 base_color, 82:85 emissive, 85 metallic, 86 roughness, 87 cutoff,
+# 88 combo_tex, 89 sticker_tex, 90 class, 91 instance,
+# 92 roughness-tex-multiplier flag, 93 metallic-tex-multiplier flag
+ROW = FACE + 16  # 94
 
 
 class FrameOutputs(NamedTuple):
@@ -45,8 +72,24 @@ class FrameOutputs(NamedTuple):
     valid: jax.Array  # (H, W) bool geometry hit
 
 
+# ---- planar vector helpers ---------------------------------------------------
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _normalize3(a, eps=1e-12):
+    """Planar counterpart of core.math.normalize (gradient-safe: degenerate
+    vectors pass through unscaled, no NaN cotangents)."""
+    n2 = _dot3(a, a)
+    safe = jnp.where(n2 < eps, 1.0, n2)
+    return a * jax.lax.rsqrt(safe)
+
+
 def sample_texture(textures: jax.Array, tex_id: jax.Array, uv: jax.Array) -> jax.Array:
-    """Bilinear sample with repeat wrapping.
+    """Bilinear sample with repeat wrapping (channels-last API, kept for
+    stickers/backgrounds/tests).
 
     textures: (NT, S, S, 4); tex_id: (...,) i32 (clamped >= 0); uv: (..., 2).
     """
@@ -73,10 +116,35 @@ def sample_texture(textures: jax.Array, tex_id: jax.Array, uv: jax.Array) -> jax
     return top * (1 - fv) + bot * fv
 
 
-def _interp(vertex_attr: jax.Array, f: jax.Array, bary: jax.Array) -> jax.Array:
-    """Gather (H,W,3,D) vertex attribute and interpolate with (H,W,3) bary."""
-    vals = vertex_attr[f]  # (H, W, 3, D)
-    return (vals * bary[..., None]).sum(axis=2)
+def sample_stack_planar(stack: jax.Array, tex_id: jax.Array, u: jax.Array, v: jax.Array):
+    """Bilinear sample of a (NT, S, S, C) stack -> (C, H, W) planes.
+
+    tex_id/u/v are (H, W) planes; repeat wrapping. Flattened-index gathers:
+    4 corner gathers of C channels each (one row per pixel per corner)."""
+    NT, S = stack.shape[0], stack.shape[1]
+    C = stack.shape[-1]
+    flat = stack.reshape(NT * S * S, C)
+    tu = u * S - 0.5
+    tv = v * S - 0.5
+    u0 = jnp.floor(tu)
+    v0 = jnp.floor(tv)
+    fu = (tu - u0)[..., None]
+    fv = (tv - v0)[..., None]
+    u0i = jnp.mod(u0.astype(jnp.int32), S)
+    u1i = jnp.mod(u0i + 1, S)
+    v0i = jnp.mod(v0.astype(jnp.int32), S)
+    v1i = jnp.mod(v0i + 1, S)
+    base = jnp.maximum(tex_id, 0) * (S * S)
+
+    def fetch(vi, ui):
+        return flat[base + vi * S + ui]  # (H, W, C)
+
+    c00 = fetch(v0i, u0i)
+    c10 = fetch(v0i, u1i)
+    c01 = fetch(v1i, u0i)
+    c11 = fetch(v1i, u1i)
+    out = (c00 * (1 - fu) + c10 * fu) * (1 - fv) + (c01 * (1 - fu) + c11 * fu) * fv
+    return jnp.moveaxis(out, -1, 0)  # (C, H, W)
 
 
 def _ggx_distribution(NdotH, roughness):
@@ -94,6 +162,59 @@ def _geometry_smith(NdotV, NdotL, roughness):
     return g1 * g2
 
 
+def build_face_rows(atlas: SceneAtlas, inputs: RenderInputs, geom: GeometryBuffers):
+    """Bake everything shading needs into one (F, ROW) table (differentiable
+    w.r.t. geometry). F-sized gathers here replace per-pixel gathers later."""
+    f32 = jnp.float32
+    vert_pack = jnp.concatenate(
+        [
+            geom.obj_coords,
+            geom.world,
+            geom.cam,
+            atlas.texcoords,
+            geom.normal_world,
+            geom.tangent_world,
+            geom.bitangent_world,
+            geom.sticker_uv,
+            geom.pix_hom,
+            atlas.vertex_index[:, None].astype(f32),  # exact to 2^24
+        ],
+        axis=-1,
+    )  # (VI, VS)
+    F = atlas.faces.shape[0]
+    corners = vert_pack[atlas.faces.reshape(-1)].reshape(F, 3 * VS)
+
+    fm = atlas.face_mat
+    fo = atlas.face_obj
+    o_met = inputs.obj_metallic[fo]
+    o_rough = inputs.obj_roughness[fo]
+    has_mr_tex = (atlas.mat_mr_tex[fm] >= 0).astype(f32)
+    # per-object overrides replace the material factor AND suppress the
+    # texture multiplier (reference render_shader.cpp:373-378 order)
+    met = jnp.where(o_met >= 0, o_met, atlas.mat_metallic[fm])
+    rough = jnp.where(o_rough >= 0, o_rough, atlas.mat_roughness[fm])
+    rough_flag = jnp.where(o_rough >= 0, 0.0, has_mr_tex)
+    met_flag = jnp.where(o_met >= 0, 0.0, has_mr_tex)
+
+    face_extra = jnp.concatenate(
+        [
+            atlas.mat_base_color[fm],                      # 78:82
+            atlas.mat_emissive[fm],                        # 82:85
+            met[:, None],                                  # 85
+            rough[:, None],                                # 86
+            atlas.mat_alpha_cutoff[fm][:, None],           # 87
+            atlas.mat_combo[fm][:, None].astype(f32),      # 88
+            atlas.obj_sticker_tex[fo][:, None].astype(f32),  # 89
+            atlas.obj_class[fo][:, None].astype(f32),      # 90
+            inputs.obj_instance[fo][:, None].astype(f32),  # 91
+            rough_flag[:, None],                           # 92
+            met_flag[:, None],                             # 93
+        ],
+        axis=1,
+    )
+    return jnp.concatenate([corners, face_extra], axis=1)  # (F, ROW)
+
+
 def shade(
     atlas: SceneAtlas,
     inputs: RenderInputs,
@@ -109,165 +230,107 @@ def shade(
 ) -> FrameOutputs:
     H, W = gbuf.tri_id.shape
     valid = gbuf.tri_id >= 0
-    tri = jnp.maximum(gbuf.tri_id, 0)
+    tri = jnp.maximum(gbuf.tri_id, 0).reshape(-1)
 
-    # one packed per-face int gather (see the packed vertex gather below)
-    face_table = jnp.concatenate(
-        [atlas.faces, atlas.face_obj[:, None], atlas.face_mat[:, None]], axis=1
-    )  # (F, 5)
-    ft = face_table[tri]  # (H, W, 5)
-    f = ft[..., :3]
-    obj = ft[..., 3]
-    mat = ft[..., 4]
+    rows = build_face_rows(atlas, inputs, geom)  # (F, ROW)
+    # THE per-pixel gather, then planarize: (N, ROW) -> (ROW, H, W)
+    ch = rows[tri].T.reshape(ROW, H, W)
 
-    # --- ONE packed per-vertex gather (TPU gathers pay per ROW, not per
-    # byte: ~10 separate attribute gathers are ~10x slower than one wide one)
-    packed = jnp.concatenate(
-        [
-            geom.obj_coords,       # 0:3
-            geom.world,            # 3:6
-            geom.cam,              # 6:9
-            atlas.texcoords,       # 9:11
-            geom.normal_world,     # 11:14
-            geom.tangent_world,    # 14:17
-            geom.bitangent_world,  # 17:20
-            geom.sticker_uv,       # 20:22
-            geom.pix_hom,          # 22:25
-        ],
-        axis=-1,
-    )  # (VI, 25)
-    vals = packed[f]  # (H, W, 3, 25) — the one big gather
+    def vblk(v, a, b):
+        off = v * VS
+        return ch[off + a : off + b]
 
-    # --- differentiable barycentrics: recompute E_k from vertex coords ----
-    ph = vals[..., 22:25]  # (H, W, 3, 3)
-    xs = jnp.arange(W, dtype=jnp.float32) + 0.5
-    ys = jnp.arange(H, dtype=jnp.float32) + 0.5
-    pix = jnp.stack(
-        [
-            jnp.broadcast_to(xs[None, :], (H, W)),
-            jnp.broadcast_to(ys[:, None], (H, W)),
-            jnp.ones((H, W), jnp.float32),
-        ],
-        axis=-1,
-    )
-    L0 = jnp.cross(ph[..., 1, :], ph[..., 2, :])
-    L1 = jnp.cross(ph[..., 2, :], ph[..., 0, :])
-    L2 = jnp.cross(ph[..., 0, :], ph[..., 1, :])
-    E = jnp.stack(
-        [(L0 * pix).sum(-1), (L1 * pix).sum(-1), (L2 * pix).sum(-1)], axis=-1
-    )
-    Esum = E.sum(-1, keepdims=True)
-    bary = E / jnp.where(jnp.abs(Esum) < 1e-20, 1.0, Esum)  # (H, W, 3)
+    def vch(v, a):
+        return ch[v * VS + a]
 
-    # --- interpolate geometry (single fused weighted sum over the packed
-    # table, then slice) -----------------------------------------------------
-    interp = (vals * bary[..., None]).sum(axis=2)  # (H, W, 25)
-    obj_coords = interp[..., 0:3]
-    world = interp[..., 3:6]
-    cam_coords = interp[..., 6:9]
-    uv = interp[..., 9:11]
-    n_world = m.normalize(interp[..., 11:14])
-    t_world = interp[..., 14:17]
-    b_world = interp[..., 17:20]
-    sticker_uv = interp[..., 20:22]
-    depth = cam_coords[..., 2]
+    # --- differentiable barycentrics from homogeneous edge functions ---------
+    ph = [vblk(v, 22, 25) for v in range(3)]  # 3 x (3, H, W)
+    X = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5, (H, W))
+    Y = jnp.broadcast_to(jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5, (H, W))
 
-    # --- material resolve (one packed material-table gather) -----------------
-    mat_table = jnp.concatenate(
-        [
-            atlas.mat_base_color,                       # 0:4
-            atlas.mat_emissive,                         # 4:7
-            atlas.mat_metallic[:, None],                # 7
-            atlas.mat_roughness[:, None],               # 8
-            atlas.mat_alpha_cutoff[:, None],            # 9
-            atlas.mat_base_tex[:, None].astype(jnp.float32),      # 10
-            atlas.mat_mr_tex[:, None].astype(jnp.float32),        # 11
-            atlas.mat_normal_tex[:, None].astype(jnp.float32),    # 12
-            atlas.mat_emissive_tex[:, None].astype(jnp.float32),  # 13
-        ],
-        axis=1,
-    )
-    mt = mat_table[mat]  # (H, W, 14)
-    base_color = mt[..., 0:4]
+    def edge(a, b):  # E(p) = cross(a, b) . (x, y, 1)
+        l0 = a[1] * b[2] - a[2] * b[1]
+        l1 = a[2] * b[0] - a[0] * b[2]
+        l2 = a[0] * b[1] - a[1] * b[0]
+        return l0 * X + l1 * Y + l2
+
+    E0 = edge(ph[1], ph[2])
+    E1 = edge(ph[2], ph[0])
+    E2 = edge(ph[0], ph[1])
+    Esum = E0 + E1 + E2
+    denom = jnp.where(jnp.abs(Esum) < 1e-20, 1.0, Esum)
+    b0, b1, b2 = E0 / denom, E1 / denom, E2 / denom
+    front = (Esum < 0) & valid
+
+    def interp(a, b):
+        return vblk(0, a, b) * b0 + vblk(1, a, b) * b1 + vblk(2, a, b) * b2
+
+    obj_coords = interp(0, 3)      # (3, H, W)
+    world = interp(3, 6)
+    cam_coords = interp(6, 9)
+    uv = interp(9, 11)             # (2, H, W)
+    n_world = _normalize3(interp(11, 14))
+    t_world = interp(14, 17)
+    bt_world = interp(17, 20)
+    sticker_uv = interp(20, 22)
+    depth = cam_coords[2]
+
+    base_color = ch[FACE + 0 : FACE + 4]  # (4, H, W)
+    emissive = ch[FACE + 4 : FACE + 7]
+    metallic = ch[FACE + 7]
+    roughness = ch[FACE + 8]
+    cutoff = ch[FACE + 9]
+
     if sample_textures:
-        base_tex = mt[..., 10].astype(jnp.int32)
-        tex_rgba = sample_texture(atlas.textures, base_tex, uv)
-        base_color = jnp.where(
-            (base_tex >= 0)[..., None], base_color * tex_rgba, base_color
-        )
-
-    # sticker blend (frag:248-256): inside the projected sticker frame,
-    # alpha-blend the sticker texture over the base color
-    if sample_stickers:
-        sticker_tex = atlas.obj_sticker_tex[obj]
-        in_sticker = (
-            (sticker_tex >= 0)
-            & (sticker_uv[..., 0] >= 0)
-            & (sticker_uv[..., 1] >= 0)
-            & (sticker_uv[..., 0] < 1)
-            & (sticker_uv[..., 1] < 1)
-        )
-        sticker_rgba = sample_texture(atlas.textures, sticker_tex, sticker_uv)
-        blend = jnp.where(in_sticker, sticker_rgba[..., 3], 0.0)[..., None]
+        combo = jnp.round(ch[FACE + 10]).astype(jnp.int32)
+        tex = sample_stack_planar(atlas.tex_combo, combo, uv[0], uv[1])  # (16,H,W)
         base_color = jnp.concatenate(
-            [
-                base_color[..., :3] * (1 - blend) + sticker_rgba[..., :3] * blend,
-                base_color[..., 3:],
-            ],
-            axis=-1,
+            [base_color[:3] * tex[0:3], (base_color[3] * tex[3])[None]], axis=0
         )
-
-    alpha_ok = base_color[..., 3] >= mt[..., 9]
-
-    metallic = mt[..., 7]
-    roughness = mt[..., 8]
-    if sample_textures:
-        mr_tex = mt[..., 11].astype(jnp.int32)
-        mr = sample_texture(atlas.textures, mr_tex, uv)
-        # glTF: G channel roughness, B channel metallic (frag:283-287 uses .yz)
-        roughness = jnp.where(mr_tex >= 0, roughness * mr[..., 1], roughness)
-        metallic = jnp.where(mr_tex >= 0, metallic * mr[..., 2], metallic)
-    # per-object overrides applied last (render_shader.cpp:373-378)
-    o_metallic = inputs.obj_metallic[obj]
-    o_roughness = inputs.obj_roughness[obj]
-    metallic = jnp.where(o_metallic >= 0, o_metallic, metallic)
-    roughness = jnp.where(o_roughness >= 0, o_roughness, roughness)
-    roughness = jnp.maximum(roughness, MIN_ROUGHNESS)
-
-    emissive = mt[..., 4:7]
-    if sample_textures:
-        em_tex = mt[..., 13].astype(jnp.int32)
-        em = sample_texture(atlas.textures, em_tex, uv)
-        emissive = jnp.where(
-            (em_tex >= 0)[..., None], emissive * em[..., :3] ** 2.2, emissive
-        )
-
-        # normal mapping (frag:259-270)
-        nm_tex = mt[..., 12].astype(jnp.int32)
-        nm = sample_texture(atlas.textures, nm_tex, uv)[..., :3] * 2.0 - 1.0
-        mapped = m.normalize(
-            nm[..., 0:1] * t_world + nm[..., 1:2] * b_world + nm[..., 2:3] * n_world
-        )
-        normal = jnp.where((nm_tex >= 0)[..., None], mapped, n_world)
+        # neutral fills make these no-ops for texture-less layers; the flags
+        # suppress the multiplier when a per-object override replaced the factor
+        roughness = roughness * (1.0 + ch[FACE + 14] * (tex[4] - 1.0))
+        metallic = metallic * (1.0 + ch[FACE + 15] * (tex[5] - 1.0))
+        emissive = emissive * tex[9:12]
+        nm = tex[6:9] * 2.0 - 1.0  # tangent-space normal (frag:259-270)
+        normal = _normalize3(nm[0] * t_world + nm[1] * bt_world + nm[2] * n_world)
     else:
         normal = n_world
+
+    # sticker blend (frag:248-256)
+    if sample_stickers:
+        sticker_tex = jnp.round(ch[FACE + 11]).astype(jnp.int32)
+        in_sticker = (
+            (sticker_tex >= 0)
+            & (sticker_uv[0] >= 0)
+            & (sticker_uv[1] >= 0)
+            & (sticker_uv[0] < 1)
+            & (sticker_uv[1] < 1)
+        )
+        st = sample_stack_planar(
+            atlas.textures, sticker_tex, sticker_uv[0], sticker_uv[1]
+        )  # (4, H, W)
+        blend = jnp.where(in_sticker, st[3], 0.0)
+        base_color = jnp.concatenate(
+            [base_color[:3] * (1 - blend) + st[:3] * blend, base_color[3:]], axis=0
+        )
+
+    alpha_ok = base_color[3] >= cutoff
+    roughness = jnp.maximum(roughness, MIN_ROUGHNESS)
+
     # back-face flip (frag:272-273)
-    normal = jnp.where(gbuf.front_facing[..., None], normal, -normal)
+    normal = jnp.where(front, normal, -normal)
 
     cam_position = inputs.cam_pose[:3, 3]
-    V = m.normalize(cam_position - world)
-    NoV = jnp.clip((normal * V).sum(-1), 1e-5, 1.0)
-
-    color = jnp.zeros((H, W, 3), jnp.float32)
+    V = _normalize3(cam_position[:, None, None] - world)
+    NoV = jnp.clip(_dot3(normal, V), 1e-5, 1.0)
 
     if shading != "flat":
-        F0 = (
-            DIELECTRIC_SPECULAR * (1.0 - metallic[..., None])
-            + base_color[..., :3] * metallic[..., None]
-        )
-        Fr = jnp.maximum(1.0 - roughness[..., None], F0) - F0
-        k_S = F0 + Fr * (1.0 - NoV[..., None]) ** 5
+        F0 = DIELECTRIC_SPECULAR * (1.0 - metallic) + base_color[:3] * metallic
+        Fr = jnp.maximum(1.0 - roughness, F0) - F0
+        k_S = F0 + Fr * (1.0 - NoV) ** 5
 
+        color = jnp.zeros((3, H, W), jnp.float32)
         n_lights = min(inputs.light_directions.shape[0], max_lights)
         for i in range(n_lights):
             light_color = inputs.light_colors[i]
@@ -275,93 +338,112 @@ def shade(
             light_on = (jnp.any(light_color != 0)) & (jnp.any(light_dir != 0))
 
             def _light_contrib(i=i, light_color=light_color, light_dir=light_dir):
-                Ldir = m.normalize(-light_dir)
-                Hv = m.normalize(V + Ldir)
-                NdotL = jnp.maximum((normal * Ldir).sum(-1), 0.0)
-                NdotH = jnp.maximum((normal * Hv).sum(-1), 0.0)
+                Ld = -light_dir / jnp.maximum(
+                    jnp.linalg.norm(light_dir), 1e-12
+                )  # (3,) scalars broadcast over planes
+                Hv = _normalize3(V + Ld[:, None, None])
+                NdotL = jnp.maximum(_dot3(normal, Ld[:, None, None]), 0.0)
+                NdotH = jnp.maximum(_dot3(normal, Hv), 0.0)
 
                 NDF = _ggx_distribution(NdotH, roughness)
                 G = _geometry_smith(NoV, NdotL, roughness)
-                Fs = k_S
-                spec = (NDF * G)[..., None] * Fs / jnp.maximum(
-                    4.0 * NoV * NdotL, 1e-3
-                )[..., None]
-                kD = (1.0 - Fs) * (1.0 - metallic[..., None])
+                spec = (NDF * G) * k_S / jnp.maximum(4.0 * NoV * NdotL, 1e-3)
+                kD = (1.0 - k_S) * (1.0 - metallic)
 
                 if shadow_maps is not None and shadow_matrices is not None:
-                    from .shadow import shadow_factor
+                    from .shadow import shadow_factor_planar
 
-                    inv_shadow = shadow_factor(
+                    inv_shadow = shadow_factor_planar(
                         shadow_maps, shadow_matrices, i, world
-                    )[..., None]
+                    )
                 else:
                     inv_shadow = 1.0
 
                 return (
                     inv_shadow
-                    * (kD * base_color[..., :3] / jnp.pi + spec)
-                    * light_color
-                    * NdotL[..., None]
+                    * (kD * base_color[:3] / jnp.pi + spec)
+                    * light_color[:, None, None]
+                    * NdotL
                 )
 
-            # lax.cond: disabled light slots cost nothing at runtime
             color = color + jax.lax.cond(
-                light_on, _light_contrib, lambda: jnp.zeros((H, W, 3), jnp.float32)
+                light_on,
+                _light_contrib,
+                lambda: jnp.zeros((3, H, W), jnp.float32),
             )
 
-        color = color + inputs.ambient_light * base_color[..., :3]
+        color = color + inputs.ambient_light[:, None, None] * base_color[:3]
 
         if light_map is not None:
             from .ibl import ibl_term
 
-            c_diff = base_color[..., :3] * (1.0 - DIELECTRIC_SPECULAR) * (
-                1.0 - metallic[..., None]
+            # IBL stays channels-last (cubemap gathers dominate there);
+            # convert at the boundary
+            def tohwc(p):
+                return jnp.moveaxis(p, 0, -1)
+
+            c_diff = base_color[:3] * (1.0 - DIELECTRIC_SPECULAR) * (1.0 - metallic)
+            ibl = ibl_term(
+                light_map,
+                tohwc(normal),
+                tohwc(V),
+                NoV[..., None],
+                roughness[..., None],
+                tohwc(F0),
+                tohwc(k_S),
+                tohwc(c_diff),
             )
-            color = color + ibl_term(
-                light_map, normal, V, NoV, roughness, F0, k_S, c_diff
-            )
+            color = color + jnp.moveaxis(ibl, -1, 0)
 
         color = color + emissive
     else:
-        # Flat: plain base color, no lighting
-        color = base_color[..., :3]
+        color = base_color[:3]
 
-    # --- compose with background ----------------------------------------------
+    # --- assemble outputs (channels-last only at the boundary) ---------------
     shown = valid & alpha_ok
-    hdr_rgb = jnp.where(shown[..., None], color, 0.0)
-    hdr_a = jnp.where(shown, base_color[..., 3], 0.0)
-    hdr = jnp.concatenate([hdr_rgb, hdr_a[..., None]], axis=-1)
+    zero = jnp.zeros((H, W), jnp.float32)
+    one = jnp.ones((H, W), jnp.float32)
 
-    inval4 = jnp.full((H, W, 4), INVALID, jnp.float32)
-    obj_out = jnp.where(
-        shown[..., None],
-        jnp.concatenate([obj_coords, depth[..., None]], -1),
-        inval4,
-    )
-    cam_out = jnp.where(
-        shown[..., None],
-        jnp.concatenate([cam_coords, jnp.ones((H, W, 1), jnp.float32)], -1),
-        inval4,
-    )
+    def sel(p, off=zero):
+        return jnp.where(shown, p, off)
 
-    world_to_cam = m.invert_rigid(inputs.cam_pose)
-    n_cam = m.normalize(
-        jnp.einsum("ij,hwj->hwi", world_to_cam[:3, :3], normal, precision="highest")
+    inval = jnp.full((H, W), INVALID, jnp.float32)
+    hdr = jnp.stack(
+        [sel(color[0]), sel(color[1]), sel(color[2]), sel(base_color[3])], axis=-1
     )
-    ndv = (normal * V).sum(-1)
-    normals_out = jnp.where(
-        shown[..., None],
-        jnp.concatenate([n_cam, ndv[..., None]], -1),
-        0.0,
+    obj_out = jnp.stack(
+        [sel(obj_coords[0], inval), sel(obj_coords[1], inval),
+         sel(obj_coords[2], inval), sel(depth, inval)],
+        axis=-1,
+    )
+    cam_out = jnp.stack(
+        [sel(cam_coords[0], inval), sel(cam_coords[1], inval),
+         sel(cam_coords[2], inval), sel(one, inval)],
+        axis=-1,
     )
 
-    class_out = jnp.where(shown, atlas.obj_class[obj], 0).astype(jnp.uint16)
-    inst_out = jnp.where(shown, inputs.obj_instance[obj], 0).astype(jnp.uint16)
+    R = inputs.cam_pose[:3, :3].T  # rigid: world->cam rotation
+    n_cam = _normalize3(
+        jnp.stack(
+            [
+                R[0, 0] * normal[0] + R[0, 1] * normal[1] + R[0, 2] * normal[2],
+                R[1, 0] * normal[0] + R[1, 1] * normal[1] + R[1, 2] * normal[2],
+                R[2, 0] * normal[0] + R[2, 1] * normal[1] + R[2, 2] * normal[2],
+            ]
+        )
+    )
+    ndv = _dot3(normal, V)
+    normals_out = jnp.stack(
+        [sel(n_cam[0]), sel(n_cam[1]), sel(n_cam[2]), sel(ndv)], axis=-1
+    )
 
-    vidx = atlas.vertex_index[f]  # (H, W, 3)
-    vidx_out = jnp.where(shown[..., None], vidx, 0).astype(jnp.int32)
-    bary_out = jnp.where(shown[..., None], bary, 0.0)
-    depth_out = jnp.where(shown, depth, 0.0)
+    class_out = sel(jnp.round(ch[FACE + 12]), zero).astype(jnp.uint16)
+    inst_out = sel(jnp.round(ch[FACE + 13]), zero).astype(jnp.uint16)
+
+    vidx_out = jnp.stack(
+        [sel(jnp.round(vch(v, 25)), zero) for v in range(3)], axis=-1
+    ).astype(jnp.int32)
+    bary_out = jnp.stack([sel(b0), sel(b1), sel(b2)], axis=-1)
 
     return FrameOutputs(
         hdr=hdr,
@@ -372,6 +454,6 @@ def shade(
         normals=normals_out,
         vertex_indices=vidx_out,
         barycentric_coeffs=bary_out,
-        depth=depth_out,
+        depth=sel(depth, zero),
         valid=shown,
     )

@@ -124,6 +124,30 @@ def render_shadow_maps(atlas: SceneAtlas, inputs: RenderInputs, geom, cfg):
     return jnp.stack(maps), jnp.stack(mats)
 
 
+def shadow_factor_planar(
+    shadow_maps: jax.Array,  # (L, S, S)
+    shadow_matrices: jax.Array,  # (L, 4, 4)
+    light: int,
+    world: jax.Array,  # (3, H, W) channel planes
+) -> jax.Array:
+    """Planar-layout 4x4 PCF (same semantics as shadow_factor; flat-index
+    gathers keep every output a full-lane (H, W) plane)."""
+    S = shadow_maps.shape[1]
+    A = shadow_matrices[light]
+    u = A[0, 0] * world[0] + A[0, 1] * world[1] + A[0, 2] * world[2] + A[0, 3]
+    v = A[1, 0] * world[0] + A[1, 1] * world[1] + A[1, 2] * world[2] + A[1, 3]
+    z = A[2, 0] * world[0] + A[2, 1] * world[1] + A[2, 2] * world[2] + A[2, 3]
+    flat = shadow_maps[light].reshape(-1)
+
+    acc = 0.0
+    for dy in (-1.5, -0.5, 0.5, 1.5):
+        for dx in (-1.5, -0.5, 0.5, 1.5):
+            ui = jnp.clip((u + dx).astype(jnp.int32), 0, S - 1)
+            vi = jnp.clip((v + dy).astype(jnp.int32), 0, S - 1)
+            acc = acc + (z - SHADOW_BIAS <= flat[vi * S + ui]).astype(jnp.float32)
+    return acc / 16.0
+
+
 def shadow_factor(
     shadow_maps: jax.Array,  # (L, S, S)
     shadow_matrices: jax.Array,  # (L, 4, 4)
