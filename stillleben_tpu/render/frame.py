@@ -37,6 +37,8 @@ class FrameConfig(NamedTuple):
     sample_stickers: bool = True
     use_pallas: bool | None = None  # None = auto (TPU yes, CPU no);
     # True off-TPU runs the kernel in interpret mode (tests/CI)
+    shadow_mode: str = "vsm"  # "vsm" (1 prefiltered tap, TPU-fast) |
+    # "pcf" (reference-exact 4x4 compare, render_shader.frag:321-338)
 
 
 class RenderedFrame(NamedTuple):
@@ -100,6 +102,7 @@ def render_frame_core(
         max_lights=cfg.max_lights,
         sample_textures=cfg.sample_textures,
         sample_stickers=cfg.sample_stickers,
+        shadow_mode=cfg.shadow_mode,
     )
 
     # SSAO (multiplies object RGB, reference render_pass.cpp:662-694)

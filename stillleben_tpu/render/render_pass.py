@@ -76,11 +76,15 @@ class RenderPassResult:
 
 
 class RenderPass:
-    def __init__(self, shading: str = "pbr", ssao: bool = True):
+    def __init__(self, shading: str = "pbr", ssao: bool = True,
+                 shadow_mode: str = "vsm"):
         if shading not in ("pbr", "phong", "flat"):
             raise ValueError(f"unknown shading type {shading!r}")
+        if shadow_mode not in ("vsm", "pcf"):
+            raise ValueError(f"unknown shadow mode {shadow_mode!r}")
         self._shading = "flat" if shading == "flat" else "pbr"
         self.ssao_enabled = ssao
+        self.shadow_mode = shadow_mode
         # atlas cache keyed on the scene's object-set stamp
         self._atlas = None
         self._atlas_key = None
@@ -167,6 +171,7 @@ class RenderPass:
             tile_capacity=tile_capacity,
             sample_textures=has_tex,
             sample_stickers=has_sticker,
+            shadow_mode=self.shadow_mode,
         )
 
         bg_image = None

@@ -227,6 +227,7 @@ def shade(
     max_lights: int = 3,
     sample_textures: bool = True,
     sample_stickers: bool = True,
+    shadow_mode: str = "vsm",
 ) -> FrameOutputs:
     H, W = gbuf.tri_id.shape
     valid = gbuf.tri_id >= 0
@@ -351,11 +352,18 @@ def shade(
                 kD = (1.0 - k_S) * (1.0 - metallic)
 
                 if shadow_maps is not None and shadow_matrices is not None:
-                    from .shadow import shadow_factor_planar
+                    if shadow_mode == "vsm":
+                        from .shadow import shadow_factor_vsm_planar
 
-                    inv_shadow = shadow_factor_planar(
-                        shadow_maps, shadow_matrices, i, world
-                    )
+                        inv_shadow = shadow_factor_vsm_planar(
+                            shadow_maps, shadow_matrices, i, world
+                        )
+                    else:
+                        from .shadow import shadow_factor_planar
+
+                        inv_shadow = shadow_factor_planar(
+                            shadow_maps, shadow_matrices, i, world
+                        )
                 else:
                     inv_shadow = 1.0
 

@@ -47,8 +47,12 @@ def _ortho_rasterize_depth(
 
 
 def render_shadow_maps(atlas: SceneAtlas, inputs: RenderInputs, geom, cfg):
-    """Returns (maps (L, S, S), matrices (L, 4, 4) world->shadow-uv-z)."""
+    """Returns (maps, matrices (L, 4, 4) world->shadow-uv-z).
+
+    maps is (L, S, S) raw depth for PCF mode, or (L, S, S, 2) prefiltered
+    moments for VSM mode (cfg.shadow_mode)."""
     size = getattr(cfg, "shadow_size", 512)
+    mode = getattr(cfg, "shadow_mode", "vsm")
     n_lights = min(
         inputs.light_directions.shape[0], getattr(cfg, "max_lights", 3)
     )
@@ -100,15 +104,19 @@ def render_shadow_maps(atlas: SceneAtlas, inputs: RenderInputs, geom, cfg):
         # lax.cond so disabled light slots cost nothing at runtime
         # (the reference's shadow pass also only runs for active lights,
         # render_pass.cpp:407-460)
-        depth_map = jax.lax.cond(
-            light_on,
-            lambda: _ortho_rasterize_depth(
+        def _render_map():
+            d = _ortho_rasterize_depth(
                 jnp.stack([u, v], -1), z, atlas.faces, tri_on, size,
                 use_pallas=getattr(cfg, "use_pallas", None),
-            ),
-            lambda: jnp.ones((size, size), jnp.float32),
-        )
-        maps.append(depth_map)
+            )
+            return build_vsm(d) if mode == "vsm" else d
+
+        def _empty_map():
+            if mode == "vsm":
+                return jnp.ones((size, size, 2), jnp.float32)
+            return jnp.ones((size, size), jnp.float32)
+
+        maps.append(jax.lax.cond(light_on, _render_map, _empty_map))
 
         # world -> (u_pix, v_pix, z_norm) affine matrix for lookup
         A = jnp.zeros((4, 4), jnp.float32)
@@ -122,6 +130,72 @@ def render_shadow_maps(atlas: SceneAtlas, inputs: RenderInputs, geom, cfg):
         mats.append(A)
 
     return jnp.stack(maps), jnp.stack(mats)
+
+
+def build_vsm(depth_map: jax.Array, taps: int = 4) -> jax.Array:
+    """Variance shadow map: 4x4 box-prefiltered (E[d], E[d^2]) moments.
+
+    TPU-first replacement for per-pixel 4x4 PCF: the 16-tap filter moves to
+    the (small, dense) shadow map where it is a separable shift-add, and the
+    per-pixel lookup becomes ONE bilinear tap + a Chebyshev bound — 4 gathers
+    instead of 16 (TPU gathers cost per row). Donnelly & Lauritzen 2006."""
+    S = depth_map.shape[0]
+
+    def box1d(x, axis):
+        acc = x
+        for k in range(1, taps):
+            acc = acc + jnp.roll(x, -k, axis=axis)
+        return acc / taps
+
+    # centered-ish 4-tap box (offset by taps//2 to recentre the window)
+    d = jnp.roll(depth_map, taps // 2, axis=0)
+    d = jnp.roll(d, taps // 2, axis=1)
+    mu = box1d(box1d(d, 0), 1)
+    m2 = box1d(box1d(d * d, 0), 1)
+    return jnp.stack([mu, m2], axis=-1)  # (S, S, 2)
+
+
+VSM_MIN_VARIANCE = 1e-6
+VSM_BLEED = 0.3  # light-bleed reduction cutoff
+
+
+def shadow_factor_vsm_planar(
+    vsm_maps: jax.Array,  # (L, S, S, 2) prefiltered moments
+    shadow_matrices: jax.Array,  # (L, 4, 4)
+    light: int,
+    world: jax.Array,  # (3, H, W) channel planes
+) -> jax.Array:
+    """Chebyshev upper-bound soft shadow from one bilinear VSM tap."""
+    S = vsm_maps.shape[1]
+    A = shadow_matrices[light]
+    u = A[0, 0] * world[0] + A[0, 1] * world[1] + A[0, 2] * world[2] + A[0, 3]
+    v = A[1, 0] * world[0] + A[1, 1] * world[1] + A[1, 2] * world[2] + A[1, 3]
+    z = A[2, 0] * world[0] + A[2, 1] * world[1] + A[2, 2] * world[2] + A[2, 3]
+
+    flat = vsm_maps[light].reshape(S * S, 2)
+    tu = u - 0.5
+    tv = v - 0.5
+    u0 = jnp.floor(tu)
+    v0 = jnp.floor(tv)
+    fu = (tu - u0)[..., None]
+    fv = (tv - v0)[..., None]
+    u0i = jnp.clip(u0.astype(jnp.int32), 0, S - 1)
+    u1i = jnp.clip(u0i + 1, 0, S - 1)
+    v0i = jnp.clip(v0.astype(jnp.int32), 0, S - 1)
+    v1i = jnp.clip(v0i + 1, 0, S - 1)
+
+    def fetch(vi, ui):
+        return flat[vi * S + ui]  # (H, W, 2)
+
+    mom = (fetch(v0i, u0i) * (1 - fu) + fetch(v0i, u1i) * fu) * (1 - fv) + (
+        fetch(v1i, u0i) * (1 - fu) + fetch(v1i, u1i) * fu
+    ) * fv
+    mu = mom[..., 0]
+    sigma2 = jnp.maximum(mom[..., 1] - mu * mu, VSM_MIN_VARIANCE)
+    dz = jnp.maximum(z - SHADOW_BIAS - mu, 0.0)
+    p_max = sigma2 / (sigma2 + dz * dz)
+    p = jnp.clip((p_max - VSM_BLEED) / (1.0 - VSM_BLEED), 0.0, 1.0)
+    return jnp.where(dz <= 0.0, 1.0, p)
 
 
 def shadow_factor_planar(

@@ -231,3 +231,41 @@ def test_sticker(cube_glb):
     reds = (rgb[..., 0] > 200) & (rgb[..., 1] < 100) & on
     assert reds.sum() > 4, "sticker not visible"
     assert reds.sum() < on.sum(), "sticker covers the whole object"
+
+
+def test_vsm_shadows_match_pcf(cube_glb):
+    """VSM (default, one prefiltered tap) vs reference-exact 4x4 PCF:
+    a cube casting onto a large ground cube — the two modes must agree
+    everywhere except a narrow penumbra band."""
+    mesh = sl.Mesh(cube_glb, physics=False)
+    mesh.scale_to_bbox_diagonal(0.7)
+    ground = sl.Mesh(cube_glb, physics=False)
+    ground.scale_to_bbox_diagonal(6.0)
+    scene = sl.Scene((160, 120))
+    g = sl.Object(ground)
+    pose_g = np.eye(4, dtype=np.float32)
+    pose_g[2, 3] = -2.1  # top face near z ~= -0.4
+    g.set_pose(pose_g)
+    scene.add_object(g)
+    c = sl.Object(mesh)
+    pose_c = np.eye(4, dtype=np.float32)
+    pose_c[2, 3] = 0.3
+    c.set_pose(pose_c)
+    scene.add_object(c)
+    scene.set_camera_look_at([2.5, 1.5, 2.0], [0, 0, -0.5])
+    scene.light_directions = np.array([[-0.55, -0.3, -0.78]], np.float32)
+    scene.manual_exposure = 1.0
+
+    rgb_vsm = np.asarray(sl.RenderPass(ssao=False, shadow_mode="vsm").render(scene).rgb())
+    rgb_pcf = np.asarray(sl.RenderPass(ssao=False, shadow_mode="pcf").render(scene).rgb())
+
+    on = (rgb_pcf[..., 3] > 0) & (rgb_vsm[..., 3] > 0)
+    assert on.sum() > 2000
+    lum_v = rgb_vsm[..., :3].mean(-1)[on].astype(float)
+    lum_p = rgb_pcf[..., :3].mean(-1)[on].astype(float)
+    # PCF must actually darken a shadow region (vs the bright ground median)
+    bright = np.median(lum_p)
+    assert (lum_p < 0.6 * bright).mean() > 0.005, "no shadow found in PCF render"
+    # agreement: large luminance disagreements limited to penumbra pixels
+    frac_disagree = (np.abs(lum_v - lum_p) > 40).mean()
+    assert frac_disagree < 0.08, f"VSM/PCF disagree on {frac_disagree:.1%}"
