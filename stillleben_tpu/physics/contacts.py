@@ -135,6 +135,8 @@ def pair_contacts(
     params: BodyParams,
     pairs: jax.Array,  # (NP, 2) i32 static candidate list
     max_narrow_pairs: int = 1024,
+    overlap_margin=0.01,  # speculative margin (traced OK); frame-level
+    # contact generation passes a velocity-scaled value to cover the travel
 ) -> Contacts:
     """SAT face-normal contacts for hull pairs.
 
@@ -158,7 +160,7 @@ def pair_contacts(
     ia, ib = pairs[:, 0], pairs[:, 1]
     # broadphase: bounding spheres
     dist = jnp.linalg.norm(wc[ia] - wc[ib], axis=-1)
-    margin = 0.01
+    margin = overlap_margin
     near = dist < atlas.radius[ia] + atlas.radius[ib] + margin
 
     ba = atlas.hull_body[ia]
@@ -261,7 +263,8 @@ def pair_contacts(
     sd_lateral = jnp.max(
         jnp.where(is_side[..., None], sd_side, -jnp.inf), axis=1
     )  # (NP, VH); -inf when the ref hull has no side planes at all
-    lateral_ok = sd_lateral <= 2.0 * margin
+    lateral_ok = sd_lateral <= 0.02  # fixed: manifold containment must not
+    # loosen with the speculative margin
     score = jnp.where(inc_valid & lateral_ok, depth_ref, -jnp.inf)
     # fallback: if no vert is laterally contained (e.g. crossing edge-edge
     # configurations), take the deepest verts unfiltered so penetration is

@@ -111,7 +111,7 @@ def step_fn(
 
     state = integrate_velocities(params, state, dt, cfg)
     contacts = gather_contacts(atlas, params, state, floor, pairs)
-    state, report = solve_contacts(contacts, params, state, dt, cfg)
+    state, report, _ = solve_contacts(contacts, params, state, dt, cfg)
     # re-clamp: a diverging contact solve must not translate into an
     # unbounded displacement this substep
     state = _clamp_velocities(state, cfg)
@@ -123,8 +123,13 @@ def step_fn(
     vn = jnp.einsum("ci,ci->c", v_b - v_a, kin_n)
     contacts_post = contacts._replace(depth=contacts.depth - vn * dt)
     state = position_correction(contacts_post, params, state, cfg)
+    state = _stabilize_resting(params, state, report, _body_radius(atlas, params))
+    return state, report
+
+
+def _body_radius(atlas: HullAtlas, params: BodyParams) -> jax.Array:
     nb = params.inv_mass.shape[0]
-    body_radius = (
+    return (
         jnp.zeros((nb,), jnp.float32)
         .at[atlas.hull_body]
         .max(
@@ -135,8 +140,75 @@ def step_fn(
             )
         )
     )
-    state = _stabilize_resting(params, state, report, body_radius)
-    return state, report
+
+
+def frame_fn(
+    atlas: HullAtlas,
+    params: BodyParams,
+    state: BodyState,
+    floor: Floor,
+    pairs: jax.Array,
+    frame_dt,
+    substeps: int,
+    cfg: SolverConfig,
+):
+    """One 25FPS frame, TGS-style: the contact set is generated ONCE with a
+    speculative margin covering the frame's maximum travel, then reused
+    (depth-updated from actual body displacement) across `substeps`
+    warm-started velocity solves. Cuts the SAT narrowphase cost 4x vs the
+    per-substep cadence; settle-pose distributions are validated in tests
+    (reference behavior: src/scene.cpp:714-740)."""
+    from .solver import position_correction
+
+    sub_dt = frame_dt / substeps
+    vmax = jnp.max(
+        jnp.where(params.valid, jnp.linalg.norm(state.lin_vel, axis=-1), 0.0)
+    )
+    margin = 0.01 + (vmax + cfg.gravity_vec[2] * -frame_dt) * frame_dt
+    fc = floor_contacts(atlas, state, params, floor)
+    pc = pair_contacts(atlas, state, params, pairs, overlap_margin=margin)
+    contacts = concat_contacts(fc, pc)
+
+    pos0 = state.pos
+    n = contacts.normal
+    sa = jnp.maximum(contacts.body_a, 0)
+    sb = jnp.maximum(contacts.body_b, 0)
+    ma = (contacts.body_a >= 0)[:, None]
+    mb = (contacts.body_b >= 0)[:, None]
+    nb = params.inv_mass.shape[0]
+    nc = n.shape[0]
+    zeros = jnp.zeros((nc,), jnp.float32)
+    radius = _body_radius(atlas, params)
+
+    def sub(carry, _):
+        st, min_sep, acc = carry
+        disp = st.pos - pos0  # (NB, 3) motion since contact generation
+        dd = jnp.einsum(
+            "ci,ci->c",
+            n,
+            jnp.where(mb, disp[sb], 0.0) - jnp.where(ma, disp[sa], 0.0),
+        )
+        ck = contacts._replace(depth=contacts.depth - dd)
+        st = integrate_velocities(params, st, sub_dt, cfg)
+        st, rep, acc = solve_contacts(ck, params, st, sub_dt, cfg, warm=acc)
+        st = _clamp_velocities(st, cfg)
+        st = integrate_poses(params, st, sub_dt)
+        v_b = _point_velocity(st, params, ck, which="b")
+        v_a = _point_velocity(st, params, ck, which="a")
+        vn = jnp.einsum("ci,ci->c", v_b - v_a, n)
+        st = position_correction(
+            ck._replace(depth=ck.depth - vn * sub_dt), params, st, cfg
+        )
+        st = _stabilize_resting(params, st, rep, radius)
+        return (st, jnp.minimum(min_sep, rep.min_separation), acc), None
+
+    init = (
+        state,
+        jnp.full((nb,), jnp.inf, jnp.float32),
+        (zeros, zeros, zeros),
+    )
+    (state, min_sep, _), _ = jax.lax.scan(sub, init, None, length=substeps)
+    return state, ContactReport(min_separation=min_sep)
 
 
 def _clamp_velocities(state: BodyState, cfg: SolverConfig) -> BodyState:
@@ -156,14 +228,18 @@ def _clamp_velocities(state: BodyState, cfg: SolverConfig) -> BodyState:
 
 
 def _point_velocity(state: BodyState, params: BodyParams, contacts: Contacts, which: str):
-    idx = contacts.body_b if which == "b" else contacts.body_a
-    safe = jnp.maximum(idx, 0)
+    from .solver import _pull, contact_matrices
+
+    nb = params.inv_mass.shape[0]
+    mat_a, mat_b = contact_matrices(contacts, nb)
+    mat = mat_b if which == "b" else mat_a
     com = state.pos + jnp.einsum(
         "bij,bj->bi", m.quat_to_matrix(state.quat), params.com
     )
-    r = contacts.point - com[safe]
-    v = state.lin_vel[safe] + jnp.cross(state.ang_vel[safe], r)
-    return jnp.where((idx >= 0)[:, None], v, 0.0)
+    on = (mat.sum(axis=0) > 0)[:, None]
+    r = jnp.where(on, contacts.point - _pull(mat, com), 0.0)
+    v = _pull(mat, state.lin_vel) + jnp.cross(_pull(mat, state.ang_vel), r)
+    return jnp.where(on, v, 0.0)
 
 
 def _stabilize_resting(

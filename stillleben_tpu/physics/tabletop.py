@@ -117,14 +117,24 @@ def settle(
     def frame(carry, _):
         st, stuck = carry
 
-        def sub(c, _):
-            s, min_sep = c
-            s, rep = step_fn(atlas, params, s, floor, pairs, sub_dt, cfg)
-            return (s, jnp.minimum(min_sep, rep.min_separation)), None
+        if cfg.contact_gen == "frame":
+            from .engine import frame_fn
 
-        (st, min_sep), _ = jax.lax.scan(
-            sub, (st, jnp.full((nb,), jnp.inf, jnp.float32)), None, length=substeps
-        )
+            st, rep = frame_fn(
+                atlas, params, st, floor, pairs, FRAME_TIME, substeps, cfg
+            )
+            min_sep = rep.min_separation
+        else:
+
+            def sub(c, _):
+                s, min_sep = c
+                s, rep = step_fn(atlas, params, s, floor, pairs, sub_dt, cfg)
+                return (s, jnp.minimum(min_sep, rep.min_separation)), None
+
+            (st, min_sep), _ = jax.lax.scan(
+                sub, (st, jnp.full((nb,), jnp.inf, jnp.float32)), None,
+                length=substeps,
+            )
 
         fallen = st.pos[..., 2] < REDROP_Z
         interpenetrating = min_sep < STUCK_SEPARATION

@@ -100,6 +100,14 @@ class SolverConfig(NamedTuple):
     relaxation: float = 0.9  # Jacobi under-relaxation factor
     max_velocity: float = 5.0  # m/s global clamp (PhysX maxLinearVelocity)
     max_angular_velocity: float = 20.0  # rad/s
+    # contact generation cadence: "substep" (default) regenerates every
+    # substep — the reference's PxScene::simulate-per-substep cadence, and
+    # the measurably tighter settle-pose distribution. "frame" generates the
+    # set once per 25FPS frame with a velocity-scaled speculative margin,
+    # reuses it (depth-updated) across substeps and warm-starts impulses —
+    # ~2x faster settle, wider scatter; use for throughput-first datagen.
+    contact_gen: str = "substep"
+    warm_start: float = 0.9  # cached-impulse fraction ("frame" mode)
 
     @property
     def gravity_vec(self) -> jax.Array:
