@@ -13,6 +13,9 @@
 // are interchangeable; this path is ~20x faster at asset-cook time.
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 sl_decompose.cpp -o libsl_decompose.so
+// (assets/native_decompose.py does this on demand; the binary is not committed)
+
+#include "sl_decompose.h"
 
 #include <algorithm>
 #include <array>

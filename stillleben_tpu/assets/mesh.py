@@ -376,6 +376,36 @@ class Mesh:
             raise ValueError("Mesh.class_index: out of uint16 range")
         self._class_index = int(index)
 
+    def serialize_config(self, group) -> None:
+        """Corrade ConfigurationGroup form (reference src/mesh.cpp:1091-1097)."""
+        group.set_value("filename", self._filename)
+        group.set_value("classIndex", int(self._class_index))
+        group.set_value("scale", float(self._scale))
+        group.set_value("rigidPretransform", self._pretransform_rigid)
+
+    @staticmethod
+    def deserialize_config(group, cache: "MeshCache | None" = None) -> "Mesh":
+        """(reference src/mesh.cpp:1099-1115 + mesh_cache.cpp:21-36)"""
+        from ..utils.corrade_config import parse_matrix
+
+        fn = group.value("filename")
+        if cache is not None:
+            mesh = cache.get(fn)
+            if mesh is not None:
+                return mesh  # cache hit skips re-deserialize (mesh_cache.cpp:27-28)
+            mesh = Mesh(fn)
+            cache.add([mesh])
+        else:
+            mesh = Mesh(fn)
+        if group.has_value("classIndex"):
+            mesh.class_index = int(group.value("classIndex"))
+        if group.has_value("scale"):
+            mesh._scale = float(group.value("scale"))
+        if group.has_value("rigidPretransform"):
+            mesh._pretransform_rigid = parse_matrix(group.value("rigidPretransform"))
+        mesh._update_pretransform()
+        return mesh
+
     def serialize(self) -> dict:
         """(reference src/mesh.cpp:1091-1115)"""
         return {

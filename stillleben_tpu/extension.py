@@ -4,7 +4,7 @@ The reference wraps torch.utils.cpp_extension.load with stillleben include
 paths so users can JIT C++ extensions against libstillleben. The TPU-native
 analogue: user extensions are JAX-traceable Python (compose with the
 framework's pytrees directly), and native host helpers build against the
-headers in ``stillleben_tpu/native``.
+headers in the repo-root ``native/`` directory (sl_decompose.h).
 """
 
 from __future__ import annotations
@@ -14,8 +14,8 @@ import os
 
 def include_paths() -> list[str]:
     """Include directories for building native helpers against this package."""
-    root = os.path.dirname(os.path.abspath(__file__))
-    return [os.path.join(root, "native")]
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    return [os.path.abspath(os.path.join(pkg, "..", "native"))]
 
 
 def load(name: str, sources: list[str], extra_cflags=None, **kwargs):

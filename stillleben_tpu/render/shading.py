@@ -395,8 +395,8 @@ def shade(
                 light_map,
                 tohwc(normal),
                 tohwc(V),
-                NoV[..., None],
-                roughness[..., None],
+                NoV,
+                roughness,
                 tohwc(F0),
                 tohwc(k_S),
                 tohwc(c_diff),

@@ -293,6 +293,73 @@ class Object:
 
     # -- serialization ---------------------------------------------------------
 
+    def serialize_config(self, group) -> None:
+        """Write this object into a Corrade ConfigurationGroup
+        (reference src/object.cpp:384-405; same keys incl. the reference's
+        ``linear_velocity_limit`` spelling on write)."""
+        mesh_group = group.add_group("mesh")
+        self._mesh.serialize_config(mesh_group)
+        group.set_value("pose", self._pose)
+        group.set_value("instanceIndex", int(self._instance_index))
+        group.set_value("specularColor", self._specular_color)
+        group.set_value("shininess", float(self._shininess))
+        group.set_value("roughness", float(self._roughness))
+        group.set_value("metallic", float(self._metallic))
+        group.set_value("casts_shadows", bool(self._casts_shadows))
+        x, y, w, h = [float(v) for v in self._sticker_range]
+        group.set_value("stickerRange", np.array([x, y, x + w, y + h], np.float32))
+        from ..utils.corrade_config import fmt_quaternion_wxyz
+
+        group.set_value("stickerRotation", fmt_quaternion_wxyz(self._sticker_rotation))
+        group.set_value("static", bool(self._static))
+        group.set_value("density", float(self._density))
+        group.set_value("linear_velocity_limit", float(self._linear_velocity_limit))
+
+    @staticmethod
+    def deserialize_config(group, cache=None) -> "Object":
+        """(reference src/object.cpp:407-452; accepts both the reference's
+        write spelling ``linear_velocity_limit`` and its read spelling
+        ``linearVelocityLimit``)."""
+        from ..utils.corrade_config import (
+            parse_bool,
+            parse_floats,
+            parse_matrix,
+            parse_quaternion_wxyz,
+        )
+
+        mesh_group = group.group("mesh")
+        if mesh_group is None:
+            raise RuntimeError("Did not find mesh subgroup in object")
+        obj = Object(Mesh.deserialize_config(mesh_group, cache))
+        if group.has_value("pose"):
+            obj.set_pose(parse_matrix(group.value("pose")))
+        if group.has_value("instanceIndex"):
+            obj.instance_index = int(group.value("instanceIndex"))
+        if group.has_value("specularColor"):
+            obj.specular_color = parse_floats(group.value("specularColor"), 4)
+        for key, attr in [
+            ("shininess", "shininess"),
+            ("roughness", "roughness"),
+            ("metallic", "metallic"),
+            ("density", "density"),
+        ]:
+            if group.has_value(key):
+                setattr(obj, attr, float(group.value(key)))
+        if group.has_value("casts_shadows"):
+            obj.casts_shadows = parse_bool(group.value("casts_shadows"))
+        if group.has_value("static"):
+            obj.static = parse_bool(group.value("static"))
+        if group.has_value("stickerRange"):
+            x0, y0, x1, y1 = parse_floats(group.value("stickerRange"), 4)
+            obj.sticker_range = np.array([x0, y0, x1 - x0, y1 - y0], np.float32)
+        if group.has_value("stickerRotation"):
+            obj.sticker_rotation = parse_quaternion_wxyz(group.value("stickerRotation"))
+        for key in ("linear_velocity_limit", "linearVelocityLimit"):
+            if group.has_value(key):
+                obj.linear_velocity_limit = float(group.value(key))
+                break
+        return obj
+
     def serialize(self) -> dict:
         d = {
             "mesh": self._mesh.serialize(),

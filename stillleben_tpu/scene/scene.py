@@ -519,9 +519,42 @@ class Scene:
 
     # -- serialization ------------------------------------------------------------------
 
-    def serialize(self) -> str:
-        """Text serialization (JSON here; the reference uses Corrade
-        Configuration text, src/scene.cpp:761-869 — same content)."""
+    def serialize(self, format: str = "corrade") -> str:
+        """Text serialization in the reference's Corrade Configuration format
+        (src/scene.cpp:761-799; format doc at include/stillleben/scene.h:41-67)
+        so scene files round-trip between implementations. ``format="json"``
+        keeps the round-1 JSON schema as an alternate."""
+        if format == "json":
+            return self._serialize_json()
+        from ..utils.corrade_config import (
+            ConfigurationGroup,
+            fmt_quaternion_wxyz,
+            save,
+        )
+
+        root = ConfigurationGroup()
+        root.set_value("viewport", np.asarray(self._viewport, np.int32))
+        root.set_value("projection", self._projection)
+        root.set_value("cameraPosition", self._camera_pose[:3, 3])
+        q = np.asarray(m.matrix_to_quat(jnp.asarray(self._camera_pose[:3, :3])))
+        root.set_value("cameraRotation", fmt_quaternion_wxyz(q))
+        for i in range(len(self._light_directions)):
+            lg = root.add_group("light")
+            lg.set_value("direction", self._light_directions[i])
+            lg.set_value("color", self._light_colors[i])
+        root.set_value("ambientLight", self._ambient_light)
+        root.set_value("numObjects", len(self._objects))
+        for o in self._objects:
+            og = root.add_group("object")
+            o.serialize_config(og)
+        if self._light_map is not None and getattr(self._light_map, "path", None):
+            root.set_value("lightMap", self._light_map.path)
+        root.set_value("backgroundPlanePose", self._background_plane_pose)
+        root.set_value("backgroundPlaneSize", self._background_plane_size)
+        root.set_value("manualExposure", float(self._manual_exposure))
+        return save(root)
+
+    def _serialize_json(self) -> str:
         d = {
             "viewport": list(self._viewport),
             "projection": self._projection.reshape(-1).tolist(),
@@ -540,6 +573,69 @@ class Scene:
         return json.dumps(d, indent=1)
 
     def deserialize(self, text: str, cache=None) -> None:
+        """Load a serialized scene. Detects the format: Corrade Configuration
+        text (the reference's native schema, src/scene.cpp:801-869) or this
+        package's round-1 JSON."""
+        if text.lstrip().startswith("{"):
+            return self._deserialize_json(text, cache)
+        from ..utils.corrade_config import parse, parse_floats, parse_matrix, \
+            parse_quaternion_wxyz
+
+        g = parse(text)
+        if g.has_value("viewport"):
+            self._viewport = tuple(
+                int(float(x)) for x in g.value("viewport").split()
+            )
+        if g.has_value("projection"):
+            self._projection = parse_matrix(g.value("projection"))
+        if g.has_value("cameraPosition") and g.has_value("cameraRotation"):
+            pose = np.eye(4, dtype=np.float32)
+            quat = parse_quaternion_wxyz(g.value("cameraRotation"))
+            pose[:3, :3] = np.asarray(m.quat_to_matrix(jnp.asarray(quat)))
+            pose[:3, 3] = parse_floats(g.value("cameraPosition"), 3)
+            self._camera_pose = pose
+        elif g.has_value("cameraPose"):
+            self._camera_pose = parse_matrix(g.value("cameraPose"))
+        if g.has_value("lightPosition"):
+            # legacy single-light scenes (reference src/scene.cpp:816-820)
+            p = parse_floats(g.value("lightPosition"), 3)
+            n = p / max(float(np.linalg.norm(p)), 1e-12)
+            self._light_directions = (-n).reshape(1, 3).astype(np.float32)
+            self._light_colors = np.array([[0.0, 0.8, 0.0]], np.float32)
+        else:
+            lights = g.groups("light")
+            if lights:
+                self._light_directions = np.stack(
+                    [parse_floats(lg.value("direction"), 3) for lg in lights]
+                )
+                self._light_colors = np.stack(
+                    [parse_floats(lg.value("color"), 3) for lg in lights]
+                )
+        if g.has_value("ambientLight"):
+            self._ambient_light = parse_floats(g.value("ambientLight"), 3)
+        if g.has_value("lightMap"):
+            from ..render.light_map import LightMap
+
+            self._light_map = LightMap(g.value("lightMap"))
+        if g.has_value("backgroundPlanePose"):
+            self._background_plane_pose = parse_matrix(g.value("backgroundPlanePose"))
+        if g.has_value("backgroundPlaneSize"):
+            self._background_plane_size = parse_floats(
+                g.value("backgroundPlaneSize"), 2
+            )
+        if g.has_value("manualExposure"):
+            self._manual_exposure = float(g.value("manualExposure"))
+        if cache is None:
+            from ..assets.mesh import MeshCache
+
+            cache = MeshCache()
+        self._objects = [
+            Object.deserialize_config(og, cache) for og in g.groups("object")
+        ]
+        self._invalidate()
+        return None
+
+    def _deserialize_json(self, text: str, cache=None) -> None:
         d = json.loads(text)
         if "viewport" in d:
             self._viewport = tuple(int(x) for x in d["viewport"])

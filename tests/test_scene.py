@@ -132,6 +132,75 @@ def test_serialization_roundtrip(cube_glb):
     scene3.deserialize(text, cache)
     assert scene3.objects[0].mesh is scene2.objects[0].mesh
 
+    # the default format is the reference's Corrade Configuration schema
+    assert text.lstrip()[0] != "{"
+    assert "cameraPosition=" in text and "[object/mesh]" in text
+
+    # the JSON alternate still round-trips
+    jtext = scene.serialize(format="json")
+    scene4 = sl.Scene((320, 240))
+    scene4.deserialize(jtext, sl.MeshCache())
+    np.testing.assert_allclose(scene4.objects[0].pose(), T, atol=1e-6)
+
+
+def test_deserialize_reference_schema(cube_glb):
+    """A scene file in exactly the shape the reference emits
+    (src/scene.cpp:761-799, include/stillleben/scene.h:41-67: Corrade
+    Configuration text, column-major matrices, x-y-z-w quaternions) loads."""
+    text = f"""\
+viewport=320 240
+projection=1.8 0 0 0 0 2.4 0 0 0 0 -1.0002 -1 0 0 -0.20002 0
+cameraPosition=0.5 -0.25 1.5
+cameraRotation=0 0 0.7071068 0.7071068
+ambientLight=0.1 0.2 0.3
+numObjects=1
+manualExposure=1.5
+
+[light]
+direction=0 0.707107 -0.707107
+color=3 2.9 2.7
+
+[object]
+pose=0 1 0 0 -1 0 0 0 0 0 1 0 0.1 0.2 0.3 1
+instanceIndex=1
+metallic=0.25
+roughness=0.6
+casts_shadows=false
+static=true
+linearVelocityLimit=inf
+
+[object/mesh]
+filename={cube_glb}
+classIndex=7
+scale=1
+"""
+    scene = sl.Scene((64, 64))
+    scene.deserialize(text, sl.MeshCache())
+    assert scene.viewport == (320, 240)
+    # cameraRotation is 90 deg about z (Magnum text order x y z w)
+    cp = scene.camera_pose()
+    np.testing.assert_allclose(cp[:3, 3], [0.5, -0.25, 1.5], atol=1e-6)
+    np.testing.assert_allclose(
+        cp[:3, :3], [[0, -1, 0], [1, 0, 0], [0, 0, 1]], atol=1e-6
+    )
+    # column-major pose text -> row-major matrix
+    obj = scene.objects[0]
+    np.testing.assert_allclose(
+        obj.pose()[:3, :3], [[0, -1, 0], [1, 0, 0], [0, 0, 1]], atol=1e-6
+    )
+    np.testing.assert_allclose(obj.pose()[:3, 3], [0.1, 0.2, 0.3], atol=1e-6)
+    assert obj.instance_index == 1
+    assert obj.metallic == pytest.approx(0.25)
+    assert obj.casts_shadows is False
+    assert obj.static is True
+    assert np.isinf(obj.linear_velocity_limit)
+    assert obj.mesh.class_index == 7
+    np.testing.assert_allclose(
+        scene.light_directions[0], [0, 0.707107, -0.707107], atol=1e-6
+    )
+    np.testing.assert_allclose(scene.ambient_light, [0.1, 0.2, 0.3], atol=1e-6)
+    assert scene.manual_exposure == pytest.approx(1.5)
+
 
 def test_camera_look_at():
     scene = sl.Scene((100, 100))
