@@ -41,18 +41,28 @@ class SceneTemplate(NamedTuple):
     base_inputs: RenderInputs  # camera/lights/materials template
     bbox_corners: jax.Array  # (NB, 8, 3) mesh-frame bbox corners (pretransformed)
     base_z: jax.Array  # scalar
+    light_map: object = None  # LightMapData pytree or None (IBL for all scenes)
 
 
 def template_from_scene(scene) -> SceneTemplate:
-    """Build a SceneTemplate from a host Scene (objects already added)."""
+    """Build a SceneTemplate from a host Scene (objects added; background
+    plane + IBL light map carried over, matching the reference ycb.py flow)."""
     import numpy as np
 
     from ..render.atlas import build_scene_atlas, render_inputs_from_scene
 
     atlas, params, pairs, geom = scene._compile()
     floor = scene._default_floor(enabled=all(not o.static for o in scene.objects))
-    render_atlas = build_scene_atlas(scene.objects)
+    bg_plane = None
+    if np.any(scene.background_plane_size):
+        tex = scene.background_plane_texture
+        bg_plane = {
+            "size": scene.background_plane_size,
+            "texture": tex.pixels if tex is not None else None,
+        }
+    render_atlas = build_scene_atlas(scene.objects, background_plane=bg_plane)
     base_inputs = render_inputs_from_scene(scene, render_atlas)
+    light_map = scene.light_map.data if scene.light_map is not None else None
 
     corners = np.zeros((max(len(scene.objects), 1), 8, 3), np.float32)
     for i, o in enumerate(scene.objects):
@@ -68,6 +78,7 @@ def template_from_scene(scene) -> SceneTemplate:
         base_inputs=base_inputs,
         bbox_corners=jnp.asarray(corners),
         base_z=jnp.float32(base_z),
+        light_map=light_map,
     )
 
 
@@ -113,7 +124,7 @@ def generate_one(
         cam_pose=cam_pose,
         light_directions=light_dirs,
     )
-    return render_frame_core(tpl.render_atlas, inputs, cfg)
+    return render_frame_core(tpl.render_atlas, inputs, cfg, light_map=tpl.light_map)
 
 
 @partial(
@@ -207,7 +218,7 @@ def render_with_poses(
         inputs = inputs._replace(
             light_directions=inputs.light_directions.at[0].set(light_dir)
         )
-    return render_frame_core(tpl.render_atlas, inputs, cfg)
+    return render_frame_core(tpl.render_atlas, inputs, cfg, light_map=tpl.light_map)
 
 
 def apply_pose_delta_matrix(pose: jax.Array, delta: jax.Array) -> jax.Array:

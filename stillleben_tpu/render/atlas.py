@@ -23,7 +23,19 @@ import numpy as np
 
 from ..core import math as m
 
-TEXTURE_SIZE = 256  # all material textures resampled to this (round-1: no mips)
+TEXTURE_SIZE = 256  # material textures resampled to this at mip level 0
+
+# mip-chain packing: level l is S>>l texels square; all levels of one texture
+# are concatenated flat (row-major per level) so a single gather addresses
+# any (level, v, u) texel. Matches the reference's mip-mapped Texture2D
+# uploads (reference src/context.cpp:617-649: setStorage(Math::log2(size)+1)
+# + generateMipmap), replacing GL's hardware trilinear fetch.
+MIP_SIZES = tuple(TEXTURE_SIZE >> l for l in range(TEXTURE_SIZE.bit_length()))
+MIP_OFFSETS = tuple(
+    int(np.cumsum([0] + [s * s for s in MIP_SIZES])[i]) for i in range(len(MIP_SIZES))
+)
+MIP_TOTAL = MIP_OFFSETS[-1] + 1  # sum of S_l^2 over levels (S=256 -> 87381)
+N_MIPS = len(MIP_SIZES)
 
 
 COMBO_CHANNELS = 16
@@ -59,13 +71,18 @@ class SceneAtlas(NamedTuple):
     mat_normal_tex: jax.Array  # (NM,) i32
     mat_emissive_tex: jax.Array  # (NM,) i32
 
-    textures: jax.Array  # (NT, S, S, 4) f32 LINEAR
-
     # combined material textures: all 4 glTF layers of one material packed
     # into one 16-channel texel so the planar shader pays ONE gather set per
-    # pixel instead of four (TPU gathers cost per row)
-    tex_combo: jax.Array  # (NC, S, S, COMBO_CHANNELS) f32
+    # pixel instead of four (TPU gathers cost per row). Mip-packed flat:
+    # texel (l, v, u) of combo c lives at [c, MIP_OFFSETS[l] + v*S_l + u].
+    tex_combo: jax.Array  # (NC, MIP_TOTAL, COMBO_CHANNELS) f32
     mat_combo: jax.Array  # (NM,) i32 combo id per material
+
+    # sticker textures at NATIVE resolution, clamp-to-border semantics
+    # (reference src/object.cpp:494-513 uses a RectangleTexture: no mips,
+    # sampled at native size). Padded to the max sticker dims in the scene.
+    sticker_stack: jax.Array  # (NS, SH, SW, 4) f32 LINEAR
+    sticker_size: jax.Array  # (NS, 2) f32 native (w, h) of each sticker
 
     # per-object static
     obj_class: jax.Array  # (NB,) i32
@@ -102,12 +119,18 @@ def _resample_texture_raw(img: np.ndarray, size: int = TEXTURE_SIZE) -> np.ndarr
     return np.asarray(im, np.float32) / 255.0
 
 
-def _resample_texture(img: np.ndarray, size: int = TEXTURE_SIZE) -> np.ndarray:
-    """uint8 sRGB (H,W,4) -> (S,S,4) f32 linear (gamma 2.2 like the frag
-    shader's toLinear, render_shader.frag:141-148; alpha stays linear)."""
-    arr = _resample_texture_raw(img, size).copy()
-    arr[..., :3] = arr[..., :3] ** 2.2
-    return arr
+def _mip_chain_packed(stack: np.ndarray) -> np.ndarray:
+    """(N, S, S, C) -> (N, MIP_TOTAL, C): 2x2 box-filtered mip chain, levels
+    packed flat (level l at MIP_OFFSETS[l])."""
+    n, s, _, c = stack.shape
+    assert s == TEXTURE_SIZE
+    levels = [stack]
+    cur = stack
+    while cur.shape[1] > 1:
+        h = cur.shape[1] // 2
+        cur = cur.reshape(n, h, 2, h, 2, c).mean(axis=(2, 4))
+        levels.append(cur)
+    return np.concatenate([l.reshape(n, -1, c) for l in levels], axis=1)
 
 
 def _build_combo_stack(mats, raw_textures, size):
@@ -148,7 +171,22 @@ def _build_combo_stack(mats, raw_textures, size):
         mat_combo.append(combos[key])
     if not combo_list:  # keep shapes static for untextured scenes
         combo_list.append(np.ones((size, size, COMBO_CHANNELS), np.float32))
-    return np.stack(combo_list), np.array(mat_combo, np.int32)
+    return _mip_chain_packed(np.stack(combo_list)), np.array(mat_combo, np.int32)
+
+
+def has_cutout_materials(atlas: SceneAtlas) -> bool:
+    """Host-side static check: can any material discard fragments below its
+    alpha cutoff? Drives FrameConfig.alpha_peel (the raster-stage cutout
+    pass, reference render_shader.frag alpha-cutoff discard). Opaque scenes
+    (the common case) keep the single-pass pipeline."""
+    base = np.asarray(atlas.mat_base_color)  # (NM, 4)
+    cutoff = np.asarray(atlas.mat_alpha_cutoff)  # (NM,)
+    combo = np.asarray(atlas.mat_combo)  # (NM,)
+    has_tex = np.asarray(atlas.mat_base_tex) >= 0
+    # min alpha over each combo's texels (level 0 dominates the min)
+    tex_alpha_min = np.asarray(atlas.tex_combo)[:, :, 3].min(axis=1)  # (NC,)
+    amin = base[:, 3] * np.where(has_tex, tex_alpha_min[combo], 1.0)
+    return bool((amin < cutoff).any())
 
 
 def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C901
@@ -161,7 +199,6 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
     pos_l, nrm_l, uv_l, col_l, tan_l, vid_l, vobj_l = [], [], [], [], [], [], []
     face_l, fobj_l, fmat_l = [], [], []
     mats = []  # list of dicts
-    textures: list[np.ndarray] = []
     raw_textures: list[np.ndarray] = []
     tex_cache: dict[int, int] = {}
     obj_class = []
@@ -169,12 +206,8 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
     def add_texture(img: np.ndarray) -> int:
         key = id(img)
         if key not in tex_cache:
-            tex_cache[key] = len(textures)
-            raw = _resample_texture_raw(img)
-            raw_textures.append(raw)
-            lin = raw.copy()
-            lin[..., :3] = lin[..., :3] ** 2.2
-            textures.append(lin)
+            tex_cache[key] = len(raw_textures)
+            raw_textures.append(_resample_texture_raw(img))
         return tex_cache[key]
 
     def add_material(gm, images) -> int:
@@ -235,9 +268,19 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
     v_off = 0
     all_objects = list(objects)
     sticker_tex_ids = []
+    sticker_imgs: list[np.ndarray] = []  # native-resolution linear f32
+    sticker_cache: dict[int, int] = {}
+
+    def add_sticker(st) -> int:
+        key = id(st.pixels)
+        if key not in sticker_cache:
+            sticker_cache[key] = len(sticker_imgs)
+            sticker_imgs.append(st.linear_f32())
+        return sticker_cache[key]
+
     for oi, obj in enumerate(all_objects):
         st = getattr(obj, "sticker_texture", None)
-        sticker_tex_ids.append(add_texture(st.pixels) if st is not None else -1)
+        sticker_tex_ids.append(add_sticker(st) if st is not None else -1)
         c = obj.mesh.consolidated
         nv = c.num_vertices
         positions = c.positions
@@ -334,8 +377,18 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
         sticker_tex_ids.append(-1)
         nb = max(nb, 1)
 
-    if not textures:
-        textures.append(np.ones((4, 4, 4), np.float32))
+    # pad native-res stickers to the scene max dims (ragged -> one stack)
+    if sticker_imgs:
+        sh = max(s.shape[0] for s in sticker_imgs)
+        sw = max(s.shape[1] for s in sticker_imgs)
+        sticker_stack = np.zeros((len(sticker_imgs), sh, sw, 4), np.float32)
+        sticker_size = np.zeros((len(sticker_imgs), 2), np.float32)
+        for i, s in enumerate(sticker_imgs):
+            sticker_stack[i, : s.shape[0], : s.shape[1]] = s
+            sticker_size[i] = (s.shape[1], s.shape[0])
+    else:
+        sticker_stack = np.zeros((1, 4, 4, 4), np.float32)
+        sticker_size = np.full((1, 2), 4.0, np.float32)
 
     tex_combo, mat_combo = _build_combo_stack(mats, raw_textures, TEXTURE_SIZE)
 
@@ -359,9 +412,10 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
         mat_mr_tex=jnp.asarray(np.array([mt["mr_tex"] for mt in mats], np.int32)),
         mat_normal_tex=jnp.asarray(np.array([mt["normal_tex"] for mt in mats], np.int32)),
         mat_emissive_tex=jnp.asarray(np.array([mt["emissive_tex"] for mt in mats], np.int32)),
-        textures=jnp.asarray(np.stack(textures)),
         tex_combo=jnp.asarray(tex_combo),
         mat_combo=jnp.asarray(mat_combo),
+        sticker_stack=jnp.asarray(sticker_stack),
+        sticker_size=jnp.asarray(sticker_size),
         obj_class=jnp.asarray(np.array(obj_class, np.int32)),
         obj_sticker_tex=jnp.asarray(np.array(sticker_tex_ids, np.int32)),
         num_objects=nb,

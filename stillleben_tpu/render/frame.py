@@ -39,6 +39,11 @@ class FrameConfig(NamedTuple):
     # True off-TPU runs the kernel in interpret mode (tests/CI)
     shadow_mode: str = "vsm"  # "vsm" (1 prefiltered tap, TPU-fast) |
     # "pcf" (reference-exact 4x4 compare, render_shader.frag:321-338)
+    texture_filter: str = "trilinear"  # mip-mapped "trilinear" (reference GL
+    # default, context.cpp:617-649) | "bilinear" (single mip tap, cheaper)
+    alpha_peel: bool = False  # raster-stage alpha cutoff via re-raster of
+    # discarded pixels; enable when atlas.has_cutout_materials(atlas)
+    alpha_peel_rounds: int = 1  # overlapping-cutout depth (1 covers one layer)
 
 
 class RenderedFrame(NamedTuple):
@@ -76,34 +81,58 @@ def render_frame_core(
             atlas, inputs, geom, cfg
         )
 
-    if cfg.tiled:
-        from .rasterize_tiled import rasterize_tiled
+    def raster_and_shade(min_depth):
+        if cfg.tiled:
+            from .rasterize_tiled import rasterize_tiled
 
-        gbuf = rasterize_tiled(
-            geom, atlas, inputs, W, H,
-            near=cfg.near, far=cfg.far,
-            tile_capacity=cfg.tile_capacity, big_capacity=cfg.big_capacity,
-            fine_chunk=cfg.fine_chunk,
-            min_depth=depth_peel_depth,
-            use_pallas=cfg.use_pallas,
+            gbuf = rasterize_tiled(
+                geom, atlas, inputs, W, H,
+                near=cfg.near, far=cfg.far,
+                tile_capacity=cfg.tile_capacity, big_capacity=cfg.big_capacity,
+                fine_chunk=cfg.fine_chunk,
+                min_depth=min_depth,
+                use_pallas=cfg.use_pallas,
+            )
+        else:
+            gbuf = rasterize(
+                geom, atlas, inputs, W, H,
+                near=cfg.near, far=cfg.far, chunk=cfg.chunk,
+                min_depth=min_depth,
+            )
+        return shade(
+            atlas, inputs, geom, gbuf,
+            shading=cfg.shading,
+            light_map=light_map,
+            shadow_maps=shadow_maps,
+            shadow_matrices=shadow_matrices,
+            max_lights=cfg.max_lights,
+            sample_textures=cfg.sample_textures,
+            sample_stickers=cfg.sample_stickers,
+            shadow_mode=cfg.shadow_mode,
+            texture_filter=cfg.texture_filter,
         )
-    else:
-        gbuf = rasterize(
-            geom, atlas, inputs, W, H,
-            near=cfg.near, far=cfg.far, chunk=cfg.chunk,
-            min_depth=depth_peel_depth,
+
+    out = raster_and_shade(depth_peel_depth)
+    for _ in range(cfg.alpha_peel_rounds if cfg.alpha_peel else 0):
+        # raster-stage alpha cutoff: pixels whose z-winner failed the cutoff
+        # re-rasterize with that depth as a floor, so GT/color come from the
+        # surface BEHIND the cutout — GL's fragment-discard-before-depth-write
+        # (reference render_shader.frag alpha cutoff). Static no-op for
+        # opaque scenes (atlas.has_cutout_materials gates alpha_peel).
+        base_md = (
+            depth_peel_depth
+            if depth_peel_depth is not None
+            else jnp.zeros((H, W), jnp.float32)
         )
-    out = shade(
-        atlas, inputs, geom, gbuf,
-        shading=cfg.shading,
-        light_map=light_map,
-        shadow_maps=shadow_maps,
-        shadow_matrices=shadow_matrices,
-        max_lights=cfg.max_lights,
-        sample_textures=cfg.sample_textures,
-        sample_stickers=cfg.sample_stickers,
-        shadow_mode=cfg.shadow_mode,
-    )
+        md2 = jnp.where(out.discarded, out.raster_depth, base_md)
+        out2 = raster_and_shade(md2)
+        d = out.discarded
+
+        def merge(a, b):
+            mask = d.reshape(d.shape + (1,) * (a.ndim - 2))
+            return jnp.where(mask, b, a)
+
+        out = jax.tree.map(merge, out, out2)
 
     # SSAO (multiplies object RGB, reference render_pass.cpp:662-694)
     hdr_obj = out.hdr

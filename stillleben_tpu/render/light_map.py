@@ -324,9 +324,23 @@ class LightMap:
         if path:
             self.load(path)
 
+    @classmethod
+    def from_equirect(cls, equirect, lights=()) -> "LightMap":
+        """Build a LightMap from an in-memory (H, W, 3) float equirect panorama
+        (no file needed). ``lights``: iterable of (direction, color) pairs for
+        the analytic lights an .ibl sidecar would provide."""
+        lm = cls()
+        lm.path = "<equirect>"
+        lm._precompute(np.asarray(equirect, np.float32), list(lights))
+        return lm
+
     def load(self, path: str) -> bool:
         equirect, lights = self._load_source(path)
         self.path = path
+        self._precompute(equirect, lights)
+        return True
+
+    def _precompute(self, equirect, lights) -> None:
         for d, c in lights:
             self.light_directions = np.concatenate([self.light_directions, d[None]])
             self.light_colors = np.concatenate([self.light_colors, c[None]])
@@ -348,7 +362,6 @@ class LightMap:
             prefilter3=mips[3],
             prefilter4=mips[4],
         )
-        return True
 
     def _load_source(self, path: str):
         lights = []

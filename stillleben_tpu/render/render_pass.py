@@ -163,6 +163,8 @@ class RenderPass:
         n_tiles = max((W // 16) * (H // 16), 1)
         density = n_faces * 8 // n_tiles
         tile_capacity = int(min(2048, max(256, 1 << (max(density, 1) - 1).bit_length())))
+        from .atlas import has_cutout_materials
+
         cfg = FrameConfig(
             width=W,
             height=H,
@@ -172,6 +174,7 @@ class RenderPass:
             sample_textures=has_tex,
             sample_stickers=has_sticker,
             shadow_mode=self.shadow_mode,
+            alpha_peel=has_cutout_materials(atlas),
         )
 
         bg_image = None

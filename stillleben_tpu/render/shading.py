@@ -70,6 +70,8 @@ class FrameOutputs(NamedTuple):
     barycentric_coeffs: jax.Array  # (H, W, 3) f32
     depth: jax.Array  # (H, W) f32 cam z (0 at background)
     valid: jax.Array  # (H, W) bool geometry hit
+    discarded: jax.Array  # (H, W) bool: geometry hit but alpha-cutoff failed
+    raster_depth: jax.Array  # (H, W) f32 winner depth BEFORE the alpha discard
 
 
 # ---- planar vector helpers ---------------------------------------------------
@@ -87,64 +89,102 @@ def _normalize3(a, eps=1e-12):
     return a * jax.lax.rsqrt(safe)
 
 
-def sample_texture(textures: jax.Array, tex_id: jax.Array, uv: jax.Array) -> jax.Array:
-    """Bilinear sample with repeat wrapping (channels-last API, kept for
-    stickers/backgrounds/tests).
+def sample_combo_mip_planar(
+    stack: jax.Array,
+    tex_id: jax.Array,
+    u: jax.Array,
+    v: jax.Array,
+    lod: jax.Array,
+    trilinear: bool = True,
+):
+    """Mip-mapped sample of the packed combo stack -> (C, H, W) planes.
 
-    textures: (NT, S, S, 4); tex_id: (...,) i32 (clamped >= 0); uv: (..., 2).
-    """
-    S = textures.shape[1]
-    u = uv[..., 0] * S - 0.5
-    v = uv[..., 1] * S - 0.5
-    u0 = jnp.floor(u)
-    v0 = jnp.floor(v)
-    fu = (u - u0)[..., None]
-    fv = (v - v0)[..., None]
+    ``stack``: (NC, MIP_TOTAL, C) flat-packed mip chain (atlas layout);
+    tex_id/u/v/lod are (H, W) planes; repeat wrapping. Trilinear = two
+    bilinear taps + lerp, the software analogue of the reference's
+    GL mip-mapped SamplerFilter::Linear (context.cpp:617-649)."""
+    from .atlas import MIP_OFFSETS, MIP_SIZES, MIP_TOTAL, N_MIPS
+
+    NC, C = stack.shape[0], stack.shape[-1]
+    flat = stack.reshape(NC * MIP_TOTAL, C)
+    sizes = jnp.asarray(MIP_SIZES, jnp.int32)
+    offs = jnp.asarray(MIP_OFFSETS, jnp.int32)
+    lod = jnp.clip(lod, 0.0, N_MIPS - 1.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    frac = (lod - l0.astype(jnp.float32))[..., None]
+    base = jnp.maximum(tex_id, 0) * MIP_TOTAL
+
+    def tap(li):
+        S = sizes[li]  # (H, W) i32 per-pixel level size
+        Sf = S.astype(jnp.float32)
+        off = offs[li]
+        tu = u * Sf - 0.5
+        tv = v * Sf - 0.5
+        u0 = jnp.floor(tu)
+        v0 = jnp.floor(tv)
+        fu = (tu - u0)[..., None]
+        fv = (tv - v0)[..., None]
+        u0i = jnp.mod(u0.astype(jnp.int32), S)
+        u1i = jnp.mod(u0i + 1, S)
+        v0i = jnp.mod(v0.astype(jnp.int32), S)
+        v1i = jnp.mod(v0i + 1, S)
+
+        def fetch(vi, ui):
+            return flat[base + off + vi * S + ui]  # (H, W, C)
+
+        c00 = fetch(v0i, u0i)
+        c10 = fetch(v0i, u1i)
+        c01 = fetch(v1i, u0i)
+        c11 = fetch(v1i, u1i)
+        return (c00 * (1 - fu) + c10 * fu) * (1 - fv) + (
+            c01 * (1 - fu) + c11 * fu
+        ) * fv
+
+    out = tap(l0)
+    if trilinear:
+        out = out * (1.0 - frac) + tap(jnp.minimum(l0 + 1, N_MIPS - 1)) * frac
+    return jnp.moveaxis(out, -1, 0)  # (C, H, W)
+
+
+def sample_sticker_planar(
+    stack: jax.Array, sizes: jax.Array, tex_id: jax.Array, u: jax.Array, v: jax.Array
+):
+    """Native-resolution sticker sample -> (4, H, W), clamp-to-border with a
+    transparent border (reference src/object.cpp:494-513 RectangleTexture +
+    src/context.cpp:567-597 border color 0).
+
+    ``stack``: (NS, SH, SW, 4) stickers padded to the scene max dims;
+    ``sizes``: (NS, 2) native (w, h) of each sticker."""
+    NS, SH, SW, C = stack.shape
+    flat = stack.reshape(NS * SH * SW, C)
     ti = jnp.maximum(tex_id, 0)
-
-    def fetch(ui, vi):
-        ui = jnp.mod(ui.astype(jnp.int32), S)
-        vi = jnp.mod(vi.astype(jnp.int32), S)
-        return textures[ti, vi, ui]
-
-    c00 = fetch(u0, v0)
-    c10 = fetch(u0 + 1, v0)
-    c01 = fetch(u0, v0 + 1)
-    c11 = fetch(u0 + 1, v0 + 1)
-    top = c00 * (1 - fu) + c10 * fu
-    bot = c01 * (1 - fu) + c11 * fu
-    return top * (1 - fv) + bot * fv
-
-
-def sample_stack_planar(stack: jax.Array, tex_id: jax.Array, u: jax.Array, v: jax.Array):
-    """Bilinear sample of a (NT, S, S, C) stack -> (C, H, W) planes.
-
-    tex_id/u/v are (H, W) planes; repeat wrapping. Flattened-index gathers:
-    4 corner gathers of C channels each (one row per pixel per corner)."""
-    NT, S = stack.shape[0], stack.shape[1]
-    C = stack.shape[-1]
-    flat = stack.reshape(NT * S * S, C)
-    tu = u * S - 0.5
-    tv = v * S - 0.5
+    wh = sizes[ti]  # (H, W, 2)
+    w = wh[..., 0]
+    h = wh[..., 1]
+    wi = w.astype(jnp.int32)
+    hi = h.astype(jnp.int32)
+    tu = u * w - 0.5
+    tv = v * h - 0.5
     u0 = jnp.floor(tu)
     v0 = jnp.floor(tv)
     fu = (tu - u0)[..., None]
     fv = (tv - v0)[..., None]
-    u0i = jnp.mod(u0.astype(jnp.int32), S)
-    u1i = jnp.mod(u0i + 1, S)
-    v0i = jnp.mod(v0.astype(jnp.int32), S)
-    v1i = jnp.mod(v0i + 1, S)
-    base = jnp.maximum(tex_id, 0) * (S * S)
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+    base = ti * (SH * SW)
 
-    def fetch(vi, ui):
-        return flat[base + vi * S + ui]  # (H, W, C)
+    def tap(vi, ui):
+        inside = (ui >= 0) & (ui < wi) & (vi >= 0) & (vi < hi)
+        uc = jnp.clip(ui, 0, SW - 1)
+        vc = jnp.clip(vi, 0, SH - 1)
+        return flat[base + vc * SW + uc] * inside[..., None]
 
-    c00 = fetch(v0i, u0i)
-    c10 = fetch(v0i, u1i)
-    c01 = fetch(v1i, u0i)
-    c11 = fetch(v1i, u1i)
+    c00 = tap(v0i, u0i)
+    c10 = tap(v0i, u0i + 1)
+    c01 = tap(v0i + 1, u0i)
+    c11 = tap(v0i + 1, u0i + 1)
     out = (c00 * (1 - fu) + c10 * fu) * (1 - fv) + (c01 * (1 - fu) + c11 * fu) * fv
-    return jnp.moveaxis(out, -1, 0)  # (C, H, W)
+    return jnp.moveaxis(out, -1, 0)
 
 
 def _ggx_distribution(NdotH, roughness):
@@ -228,6 +268,7 @@ def shade(
     sample_textures: bool = True,
     sample_stickers: bool = True,
     shadow_mode: str = "vsm",
+    texture_filter: str = "trilinear",  # "trilinear" (reference GL) | "bilinear"
 ) -> FrameOutputs:
     H, W = gbuf.tri_id.shape
     valid = gbuf.tri_id >= 0
@@ -249,15 +290,15 @@ def shade(
     X = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5, (H, W))
     Y = jnp.broadcast_to(jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5, (H, W))
 
-    def edge(a, b):  # E(p) = cross(a, b) . (x, y, 1)
-        l0 = a[1] * b[2] - a[2] * b[1]
-        l1 = a[2] * b[0] - a[0] * b[2]
-        l2 = a[0] * b[1] - a[1] * b[0]
-        return l0 * X + l1 * Y + l2
+    def edge(a, b):  # E(p) = cross(a, b) . (x, y, 1); lx/ly are dE/dx, dE/dy
+        lx = a[1] * b[2] - a[2] * b[1]
+        ly = a[2] * b[0] - a[0] * b[2]
+        lc = a[0] * b[1] - a[1] * b[0]
+        return lx * X + ly * Y + lc, lx, ly
 
-    E0 = edge(ph[1], ph[2])
-    E1 = edge(ph[2], ph[0])
-    E2 = edge(ph[0], ph[1])
+    E0, lx0, ly0 = edge(ph[1], ph[2])
+    E1, lx1, ly1 = edge(ph[2], ph[0])
+    E2, lx2, ly2 = edge(ph[0], ph[1])
     Esum = E0 + E1 + E2
     denom = jnp.where(jnp.abs(Esum) < 1e-20, 1.0, Esum)
     b0, b1, b2 = E0 / denom, E1 / denom, E2 / denom
@@ -284,7 +325,32 @@ def shade(
 
     if sample_textures:
         combo = jnp.round(ch[FACE + 10]).astype(jnp.int32)
-        tex = sample_stack_planar(atlas.tex_combo, combo, uv[0], uv[1])  # (16,H,W)
+        # analytic screen-space UV derivatives for mip LOD selection: with
+        # b_i = E_i/Esum, db_i/dx = (dE_i/dx - b_i * dEsum/dx) / Esum — exact
+        # per-pixel footprints (GL's fragment-quad dFdx without the quads)
+        from .atlas import TEXTURE_SIZE
+
+        slx = lx0 + lx1 + lx2
+        sly = ly0 + ly1 + ly2
+        db_dx = ((lx0 - b0 * slx) / denom, (lx1 - b1 * slx) / denom,
+                 (lx2 - b2 * slx) / denom)
+        db_dy = ((ly0 - b0 * sly) / denom, (ly1 - b1 * sly) / denom,
+                 (ly2 - b2 * sly) / denom)
+        uvs = [vblk(i, 9, 11) for i in range(3)]  # 3 x (2, H, W)
+
+        def _deriv(db):
+            du = uvs[0][0] * db[0] + uvs[1][0] * db[1] + uvs[2][0] * db[2]
+            dv = uvs[0][1] * db[0] + uvs[1][1] * db[1] + uvs[2][1] * db[2]
+            return du * du + dv * dv
+
+        foot2 = jnp.maximum(_deriv(db_dx), _deriv(db_dy))  # max axis footprint^2
+        lod = 0.5 * jnp.log2(
+            jnp.maximum(foot2 * (TEXTURE_SIZE * TEXTURE_SIZE), 1.0)
+        )
+        tex = sample_combo_mip_planar(
+            atlas.tex_combo, combo, uv[0], uv[1], lod,
+            trilinear=(texture_filter == "trilinear"),
+        )  # (16, H, W)
         base_color = jnp.concatenate(
             [base_color[:3] * tex[0:3], (base_color[3] * tex[3])[None]], axis=0
         )
@@ -308,9 +374,10 @@ def shade(
             & (sticker_uv[0] < 1)
             & (sticker_uv[1] < 1)
         )
-        st = sample_stack_planar(
-            atlas.textures, sticker_tex, sticker_uv[0], sticker_uv[1]
-        )  # (4, H, W)
+        st = sample_sticker_planar(
+            atlas.sticker_stack, atlas.sticker_size,
+            sticker_tex, sticker_uv[0], sticker_uv[1],
+        )  # (4, H, W) native-res, clamp-to-border
         blend = jnp.where(in_sticker, st[3], 0.0)
         base_color = jnp.concatenate(
             [base_color[:3] * (1 - blend) + st[:3] * blend, base_color[3:]], axis=0
@@ -464,4 +531,6 @@ def shade(
         barycentric_coeffs=bary_out,
         depth=sel(depth, zero),
         valid=shown,
+        discarded=valid & ~alpha_ok,
+        raster_depth=depth,
     )

@@ -269,3 +269,184 @@ def test_vsm_shadows_match_pcf(cube_glb):
     # agreement: large luminance disagreements limited to penumbra pixels
     frac_disagree = (np.abs(lum_v - lum_p) > 40).mean()
     assert frac_disagree < 0.08, f"VSM/PCF disagree on {frac_disagree:.1%}"
+
+
+def _write_cutout_quad_gltf(path):
+    """Minimal glTF: a unit quad (XY plane, +z normal) whose base-color
+    texture is opaque on the left half and fully transparent (alpha 0) on
+    the right half — a cutout material (alpha cutoff 0.5)."""
+    import base64
+    import json
+
+    positions = np.array(
+        [[-0.5, -0.5, 0], [0.5, -0.5, 0], [0.5, 0.5, 0], [-0.5, 0.5, 0]], np.float32
+    )
+    normals = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+    uvs = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    buf = positions.tobytes() + normals.tobytes() + uvs.tobytes() + idx.tobytes()
+
+    from PIL import Image
+    import io
+
+    tex = np.zeros((16, 16, 4), np.uint8)
+    tex[:, :8] = [40, 220, 40, 255]  # opaque green left half
+    tex[:, 8:] = [220, 40, 40, 0]  # transparent right half
+    png = io.BytesIO()
+    Image.fromarray(tex, "RGBA").save(png, "PNG")
+
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [
+            {
+                "primitives": [
+                    {
+                        "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+                        "indices": 3,
+                        "material": 0,
+                    }
+                ]
+            }
+        ],
+        "materials": [
+            {
+                "pbrMetallicRoughness": {"baseColorTexture": {"index": 0}},
+                "alphaMode": "MASK",
+                "alphaCutoff": 0.5,
+                "doubleSided": True,
+            }
+        ],
+        "textures": [{"source": 0}],
+        "images": [
+            {
+                "uri": "data:image/png;base64,"
+                + base64.b64encode(png.getvalue()).decode()
+            }
+        ],
+        "buffers": [
+            {
+                "uri": "data:application/octet-stream;base64,"
+                + base64.b64encode(buf).decode(),
+                "byteLength": len(buf),
+            }
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 48, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 96, "byteLength": 32},
+            {"buffer": 0, "byteOffset": 128, "byteLength": 12},
+        ],
+        "accessors": [
+            {
+                "bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3",
+                "min": [-0.5, -0.5, 0.0], "max": [0.5, 0.5, 0.0],
+            },
+            {"bufferView": 1, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5126, "count": 4, "type": "VEC2"},
+            {"bufferView": 3, "componentType": 5123, "count": 6, "type": "SCALAR"},
+        ],
+    }
+    with open(path, "w") as f:
+        json.dump(gltf, f)
+
+
+def test_alpha_cutout_raster_gt(cube_glb, tmp_path):
+    """Alpha-cutoff discard happens at the raster stage: GT buffers in the
+    cutout hole show the surface BEHIND the quad, not the quad itself
+    (reference render_shader.frag alpha cutoff discards before depth write)."""
+    quad_path = str(tmp_path / "cutout_quad.gltf")
+    _write_cutout_quad_gltf(quad_path)
+
+    quad = sl.Mesh(quad_path, physics=False)
+    cube = sl.Mesh(cube_glb, physics=False)
+    scene = sl.Scene((96, 96))
+
+    q = sl.Object(quad)  # instance 1
+    pose_q = np.eye(4, dtype=np.float32)
+    # face the camera on +x: rotate quad normal z -> x, scale 2x
+    pose_q[:3, :3] = np.array([[0, 0, 1], [1, 0, 0], [0, 1, 0]], np.float32)
+    pose_q[:3, 3] = [2.0, 0, 0]
+    q.set_pose(pose_q)
+    scene.add_object(q)
+    q.mesh.scale_to_bbox_diagonal(3.0)
+
+    c = sl.Object(cube)  # instance 2
+    scene.add_object(c)
+    scene.set_camera_look_at([4.0, 0.0, 0.0], [0.0, 0.0, 0.0])
+
+    res = sl.RenderPass(shading="flat").render(scene)
+    inst = np.asarray(res.instance_index())
+    depth = np.asarray(res.depth())
+
+    n_quad = (inst == 1).sum()
+    n_cube = (inst == 2).sum()
+    assert n_quad > 50, "opaque half of the quad not visible"
+    assert n_cube > 50, "cube not visible through the cutout hole"
+    # through-hole pixels carry the cube's depth (camera at 4, front face at 1)
+    hole_center = (inst == 2) & (np.abs(depth - 3.0) < 0.15)
+    assert hole_center.sum() > 25, "cutout hole does not expose the cube GT"
+    # no pixel may report the quad with the cube's depth or vice versa
+    assert np.all(np.abs(depth[inst == 1] - 2.0) < 0.3)
+
+
+def test_mip_sampler_levels():
+    """Packed mip chain + trilinear sampler: level 0 reproduces the base
+    texture, the coarsest level is the global mean, fractional LOD blends."""
+    import jax.numpy as jnp
+
+    from stillleben_tpu.render.atlas import (
+        MIP_SIZES,
+        N_MIPS,
+        TEXTURE_SIZE,
+        _mip_chain_packed,
+    )
+    from stillleben_tpu.render.shading import sample_combo_mip_planar
+
+    S = TEXTURE_SIZE
+    yy, xx = np.meshgrid(np.arange(S), np.arange(S), indexing="ij")
+    checker = ((yy // 2 + xx // 2) % 2).astype(np.float32)  # 2-px checker
+    stack = np.zeros((1, S, S, 4), np.float32)
+    stack[0, ..., 0] = checker
+    stack[0, ..., 1] = 0.25
+    packed = _mip_chain_packed(stack)
+    assert packed.shape == (1, sum(s * s for s in MIP_SIZES), 4)
+
+    n = 16
+    u = jnp.linspace(0.1, 0.9, n).reshape(1, n).repeat(n, axis=0)
+    v = jnp.linspace(0.1, 0.9, n).reshape(n, 1).repeat(n, axis=1)
+    tid = jnp.zeros((n, n), jnp.int32)
+
+    # texel-center sampling at lod 0 reproduces base texels exactly
+    uc = (jnp.floor(u * S) + 0.5) / S
+    vc = (jnp.floor(v * S) + 0.5) / S
+    out0 = np.asarray(
+        sample_combo_mip_planar(jnp.asarray(packed), tid, uc, vc, jnp.zeros((n, n)))
+    )
+    ui = np.floor(np.asarray(uc) * S).astype(int)
+    vi = np.floor(np.asarray(vc) * S).astype(int)
+    np.testing.assert_allclose(out0[0], checker[vi, ui], atol=1e-6)
+    np.testing.assert_allclose(out0[1], 0.25, atol=1e-6)
+
+    # the coarsest level is the global mean (0.5 for the checker)
+    top = np.asarray(
+        sample_combo_mip_planar(
+            jnp.asarray(packed), tid, u, v, jnp.full((n, n), float(N_MIPS - 1))
+        )
+    )
+    np.testing.assert_allclose(top[0], 0.5, atol=1e-3)
+    np.testing.assert_allclose(top[1], 0.25, atol=1e-6)
+
+    # fractional lod interpolates between the two adjacent levels
+    a = np.asarray(
+        sample_combo_mip_planar(jnp.asarray(packed), tid, u, v, jnp.full((n, n), 6.0))
+    )
+    b = np.asarray(
+        sample_combo_mip_planar(jnp.asarray(packed), tid, u, v, jnp.full((n, n), 7.0))
+    )
+    mid = np.asarray(
+        sample_combo_mip_planar(jnp.asarray(packed), tid, u, v, jnp.full((n, n), 6.5))
+    )
+    np.testing.assert_allclose(mid, 0.5 * (a + b), atol=1e-5)
