@@ -131,7 +131,7 @@ def main():
         width=WIDTH, height=HEIGHT, shading="pbr", chunk=chunk,
         ssao=(WORKLOAD == "textured"),  # reference default: SSAO on
         max_lights=1,
-        shadow_size=int(os.environ.get("BENCH_SHADOW", "256")),
+        shadow_size=int(os.environ.get("BENCH_SHADOW", "0")),
         tile_capacity=int(os.environ.get("BENCH_TILE_CAP", "128")),
         fine_chunk=int(os.environ.get("BENCH_FINE_CHUNK", "32")),
         sample_textures=has_tex,

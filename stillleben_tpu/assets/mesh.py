@@ -4,7 +4,7 @@ API parity with the reference ``sl::Mesh`` / python binding
 (reference src/mesh.cpp, python/src/py_mesh.cpp):
 
 - ``Mesh(filename, visual=True, physics=True, flags=0)`` — importer chosen by
-  filename (``primitive://`` builtin, .gltf/.glb native, .obj/.ply native;
+  filename (``primitive://`` builtin; .gltf/.glb, .obj/.ply, .stl/.off/.dae;
   reference src/mesh.cpp:203-240).
 - ``Mesh.load_threaded(filenames)`` — thread-pool import
   (reference src/mesh.cpp:923-999).
@@ -94,9 +94,22 @@ class Mesh:
                 doc = load_obj(fn)
             elif ext == ".ply":
                 doc = load_ply(fn)
+            elif ext == ".stl":
+                from .objfile import load_stl
+
+                doc = load_stl(fn)
+            elif ext == ".off":
+                from .objfile import load_off
+
+                doc = load_off(fn)
+            elif ext == ".dae":
+                from .objfile import load_dae
+
+                doc = load_dae(fn)
             else:
                 raise ValueError(
-                    f"Unsupported mesh format '{ext}' (supported: .gltf .glb .obj .ply, primitive://)"
+                    f"Unsupported mesh format '{ext}' (supported: .gltf .glb "
+                    f".obj .ply .stl .off .dae, primitive://)"
                 )
         self._consolidated = consolidate(doc, name=fn)
         self._update_raw_bbox()

@@ -27,21 +27,27 @@ CONTACTS_PER_PAIR = 8  # 4 deepest of B in A + 4 of A in B
 
 class Floor(NamedTuple):
     """Static environment plane z = height with material (the tabletop floor
-    box top surface, reference src/scene.cpp:640-668: friction 0.5/0.5,
-    restitution 0)."""
+    box top surface, reference src/scene.cpp:640-668: static/dynamic
+    friction 0.5/0.5, restitution 0)."""
 
     height: jax.Array  # scalar f32
     enabled: jax.Array  # scalar bool
-    friction: jax.Array  # scalar f32
+    friction: jax.Array  # scalar f32 (dynamic)
     restitution: jax.Array  # scalar f32
+    friction_static: jax.Array  # scalar f32
 
 
-def make_floor(height=0.0, enabled=True, friction=0.5, restitution=0.0) -> Floor:
+def make_floor(
+    height=0.0, enabled=True, friction=0.5, restitution=0.0, friction_static=None
+) -> Floor:
     return Floor(
         height=jnp.asarray(height, jnp.float32),
         enabled=jnp.asarray(enabled, bool),
         friction=jnp.asarray(friction, jnp.float32),
         restitution=jnp.asarray(restitution, jnp.float32),
+        friction_static=jnp.asarray(
+            friction if friction_static is None else friction_static, jnp.float32
+        ),
     )
 
 
@@ -52,8 +58,9 @@ class Contacts(NamedTuple):
     body_a: jax.Array  # (NC,) i32, -1 = static environment
     body_b: jax.Array  # (NC,) i32
     valid: jax.Array  # (NC,) bool
-    friction: jax.Array  # (NC,)
+    friction: jax.Array  # (NC,) dynamic (sliding) coefficient
     restitution: jax.Array  # (NC,)
+    friction_static: jax.Array  # (NC,) stick coefficient (>= dynamic)
 
 
 def hull_pairs_host(atlas: HullAtlas) -> np.ndarray:
@@ -114,8 +121,12 @@ def floor_contacts(
         & params.valid[body_b]
         & (params.inv_mass[body_b] > 0)
     )
-    mu = jnp.sqrt(params.friction[body_b] * floor.friction)
-    rest = jnp.maximum(params.restitution[body_b], floor.restitution)
+    # PhysX default combine mode is AVERAGE for both friction and
+    # restitution (the reference never changes it)
+    fs = params.friction_static if params.friction_static is not None else params.friction
+    mu_d = 0.5 * (params.friction[body_b] + floor.friction)
+    mu_s = 0.5 * (fs[body_b] + floor.friction_static)
+    rest = 0.5 * (params.restitution[body_b] + floor.restitution)
     normal = jnp.tile(jnp.array([0.0, 0.0, 1.0], jnp.float32), (nc, 1))
     return Contacts(
         point=pts.reshape(nc, 3),
@@ -124,8 +135,9 @@ def floor_contacts(
         body_a=jnp.full((nc,), -1, jnp.int32),
         body_b=body_b,
         valid=valid,
-        friction=mu,
+        friction=mu_d,
         restitution=rest,
+        friction_static=mu_s,
     )
 
 
@@ -287,8 +299,12 @@ def pair_contacts(
     body_b_full = jnp.repeat(bb, k)
     valid = jnp.repeat(active, k) & (depth > -margin) & jnp.isfinite(depth)
 
-    mu = jnp.sqrt(params.friction[body_a_full] * params.friction[body_b_full])
-    rest = jnp.maximum(params.restitution[body_a_full], params.restitution[body_b_full])
+    fs = params.friction_static if params.friction_static is not None else params.friction
+    mu_d = 0.5 * (params.friction[body_a_full] + params.friction[body_b_full])
+    mu_s = 0.5 * (fs[body_a_full] + fs[body_b_full])
+    rest = 0.5 * (
+        params.restitution[body_a_full] + params.restitution[body_b_full]
+    )
 
     return Contacts(
         point=point,
@@ -297,8 +313,9 @@ def pair_contacts(
         body_a=body_a_full,
         body_b=body_b_full,
         valid=valid,
-        friction=mu,
+        friction=mu_d,
         restitution=rest,
+        friction_static=mu_s,
     )
 
 

@@ -227,9 +227,18 @@ def solve_contacts(
 
         lin, ang = _apply_impulse(contacts, kin, lin, ang, d_n[:, None] * n)
 
-        # friction (uses updated velocities)
+        # friction (uses updated velocities). Stick/slip: a near-sticking
+        # contact holds with the STATIC coefficient, a sliding one with the
+        # dynamic — PhysX's two-coefficient material model
+        # (reference createMaterial(staticF, dynamicF, restitution)).
         v = _rel_velocity(contacts, kin, lin, ang)
-        max_f = contacts.friction * new_acc_n
+        slip2 = (
+            jnp.einsum("ci,ci->c", v, t1) ** 2 + jnp.einsum("ci,ci->c", v, t2) ** 2
+        )
+        mu = jnp.where(
+            slip2 < cfg.stick_velocity**2, contacts.friction_static, contacts.friction
+        )
+        max_f = mu * new_acc_n
         vt1 = jnp.einsum("ci,ci->c", v, t1)
         d_t1 = -vt1 * m_t1  # tangential: full step (drift hurts more than
         # overshoot; the clamp to the friction cone bounds it)

@@ -55,11 +55,12 @@ class BodyParams(NamedTuple):
     inv_mass: jax.Array  # (NB,) f32; 0 = static/kinematic
     inv_inertia_body: jax.Array  # (NB, 3, 3) f32 inverse inertia in mesh frame about COM
     com: jax.Array  # (NB, 3) f32 center of mass in mesh frame
-    friction: jax.Array  # (NB,) f32 (combined with other body by multiplication sqrt? see solver)
+    friction: jax.Array  # (NB,) f32 dynamic coefficient (PhysX-average combined)
     restitution: jax.Array  # (NB,) f32
     linear_velocity_limit: jax.Array  # (NB,) f32 (reference Object::setLinearVelocityLimit)
     valid: jax.Array  # (NB,) bool padding mask
     kinematic: jax.Array  # (NB,) bool
+    friction_static: jax.Array | None = None  # (NB,) stick coeff; None -> friction
 
 
 class BodyState(NamedTuple):
@@ -108,6 +109,7 @@ class SolverConfig(NamedTuple):
     # ~2x faster settle, wider scatter; use for throughput-first datagen.
     contact_gen: str = "substep"
     warm_start: float = 0.9  # cached-impulse fraction ("frame" mode)
+    stick_velocity: float = 0.05  # m/s slip below which static friction holds
 
     @property
     def gravity_vec(self) -> jax.Array:

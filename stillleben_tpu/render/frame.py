@@ -30,7 +30,8 @@ class FrameConfig(NamedTuple):
     tiled: bool = True  # tile-binned rasterizer (fast path)
     tile_capacity: int = 256  # max triangles per 16x16 tile
     big_capacity: int = 64  # max "oversized" triangles per frame
-    shadow_size: int = 512
+    shadow_size: int = 0  # 0 = auto: the reference's 2048^2 on TPU
+    # (render_pass.cpp:271-294), 512^2 on CPU hosts (CI speed)
     max_lights: int = 3  # STATIC cap on shaded/shadowed light slots
     fine_chunk: int = 64  # triangles per fine-raster scan step (memory knob)
     sample_textures: bool = True  # STATIC: skip texture fetches when none exist

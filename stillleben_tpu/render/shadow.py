@@ -5,8 +5,9 @@ Reference: 3-layer 2048^2 shadow texture array with hardware compare
 (computeShadowMapMatrix, render_pass.cpp:131-211), 4x4 PCF with bias 3e-5
 (render_shader.frag:321-338). Here the ortho fit covers all shadow-casting
 objects' vertices (the reference intersects with the view frustum as an
-optimization of the same idea). Default resolution is reduced until the
-Pallas rasterizer lands; quality-only (GT buffers are unaffected).
+optimization of the same idea). Default resolution matches the reference
+(2048^2) on TPU; CPU CI runs keep 512^2 for speed (quality-only — GT
+buffers are unaffected).
 """
 
 from __future__ import annotations
@@ -36,10 +37,14 @@ def _ortho_rasterize_depth(
 
     p = jnp.concatenate([xy, jnp.ones_like(xy[:, :1])], -1)[faces]  # (F,3,3)
     zf = z[faces]  # (F, 3)
+    # per-tile occupancy falls with resolution (same casters spread over
+    # size^2/256 tiles), so the capacity the fine stage pays for shrinks as
+    # the map grows — 2048^2 maps cost ~the same fine work as 512^2
+    tile_capacity = max(128, 512 * (512 * 512) // (size * size))
     depth_img, _ = rasterize_vertices(
         p, zf, tri_on, size, size,
         near=-1e-3, far=1.0,
-        tile_capacity=512, big_capacity=64, fine_chunk=64,
+        tile_capacity=tile_capacity, big_capacity=64, fine_chunk=32,
         min_depth=None,
         use_pallas=use_pallas,
     )
@@ -51,7 +56,9 @@ def render_shadow_maps(atlas: SceneAtlas, inputs: RenderInputs, geom, cfg):
 
     maps is (L, S, S) raw depth for PCF mode, or (L, S, S, 2) prefiltered
     moments for VSM mode (cfg.shadow_mode)."""
-    size = getattr(cfg, "shadow_size", 512)
+    size = getattr(cfg, "shadow_size", 0) or (
+        2048 if jax.devices()[0].platform == "tpu" else 512
+    )  # reference default: 3 x 2048^2 layers (render_pass.cpp:271-294)
     mode = getattr(cfg, "shadow_mode", "vsm")
     n_lights = min(
         inputs.light_directions.shape[0], getattr(cfg, "max_lights", 3)

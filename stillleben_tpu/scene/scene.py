@@ -303,6 +303,7 @@ class Scene:
         inv_inertia = np.tile(np.eye(3, dtype=np.float32), (nb, 1, 1))
         com = np.zeros((nb, 3), np.float32)
         friction = np.full(nb, 0.5, np.float32)
+        friction_static = np.full(nb, 0.5, np.float32)
         restitution = np.zeros(nb, np.float32)
         vel_limit = np.full(nb, np.float32(3.4e38), np.float32)
         valid = np.zeros(nb, bool)
@@ -324,9 +325,10 @@ class Scene:
                     inertia + 1e-12 * np.eye(3)
                 ).astype(np.float32)
             com[i] = c
-            # PhysX combines materials; we store per-body scalars (solver
-            # combines by sqrt-product / max)
-            friction[i] = 0.5 * (o.static_friction + o.dynamic_friction)
+            # per-body material; contacts combine by PhysX's default
+            # AVERAGE rule, stick/slip selects static vs dynamic (solver)
+            friction[i] = o.dynamic_friction
+            friction_static[i] = o.static_friction
             restitution[i] = o.restitution
             vel_limit[i] = min(o.linear_velocity_limit, 3.4e38)
             valid[i] = True
@@ -345,6 +347,7 @@ class Scene:
             inv_inertia_body=jnp.asarray(inv_inertia),
             com=jnp.asarray(com),
             friction=jnp.asarray(friction),
+            friction_static=jnp.asarray(friction_static),
             restitution=jnp.asarray(restitution),
             linear_velocity_limit=jnp.asarray(vel_limit),
             valid=jnp.asarray(valid),

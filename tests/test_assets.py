@@ -174,3 +174,103 @@ def test_native_decomposition_matches_python(cube_glb):
     # hull planes contain all vertices
     d = hulls[0]["vertices"] @ hulls[0]["planes"][:, :3].T + hulls[0]["planes"][:, 3]
     assert d.max() < 1e-4
+
+
+def test_load_stl_binary_and_ascii(tmp_path):
+    """STL import (Assimp-breadth formats, reference src/mesh.cpp:203-240):
+    binary + ascii parse, independent triangles welded."""
+    import struct
+
+    import stillleben_tpu as sl
+
+    # one right triangle + its mirror sharing an edge (4 unique verts)
+    tris = np.array(
+        [
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+            [[1, 0, 0], [1, 1, 0], [0, 1, 0]],
+        ],
+        np.float32,
+    )
+    # binary
+    b = tmp_path / "quad.stl"
+    with open(b, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(struct.pack("<I", len(tris)))
+        for t in tris:
+            f.write(np.zeros(3, np.float32).tobytes())
+            f.write(t.astype(np.float32).tobytes())
+            f.write(b"\0\0")
+    mesh = sl.Mesh(str(b), physics=False)
+    c = mesh.consolidated
+    assert c.num_vertices == 4  # welded
+    assert c.faces.shape == (2, 3)
+
+    # ascii
+    a = tmp_path / "tri.stl"
+    a.write_text(
+        "solid t\n facet normal 0 0 1\n  outer loop\n"
+        "   vertex 0 0 0\n   vertex 1 0 0\n   vertex 0 1 0\n"
+        "  endloop\n endfacet\nendsolid t\n"
+    )
+    mesh2 = sl.Mesh(str(a), physics=False)
+    assert mesh2.consolidated.faces.shape == (1, 3)
+
+
+def test_load_off(tmp_path):
+    import stillleben_tpu as sl
+
+    p = tmp_path / "quad.off"
+    p.write_text("OFF\n4 1 0\n0 0 0\n1 0 0\n1 1 0\n0 1 0\n4 0 1 2 3\n")
+    mesh = sl.Mesh(str(p), physics=False)
+    c = mesh.consolidated
+    assert c.num_vertices == 4
+    assert c.faces.shape == (2, 3)  # quad fan-triangulated
+    np.testing.assert_allclose(mesh.bbox.diagonal, np.sqrt(2), atol=1e-6)
+
+
+def test_load_dae(tmp_path):
+    """COLLADA triangles + node transform + diffuse color."""
+    import stillleben_tpu as sl
+
+    dae = """<?xml version="1.0"?>
+<COLLADA xmlns="http://www.collada.org/2005/11/COLLADASchema" version="1.4.1">
+ <library_effects>
+  <effect id="red-fx"><profile_COMMON><technique sid="t"><lambert>
+   <diffuse><color>1 0 0 1</color></diffuse>
+  </lambert></technique></profile_COMMON></effect>
+ </library_effects>
+ <library_materials>
+  <material id="red"><instance_effect url="#red-fx"/></material>
+ </library_materials>
+ <library_geometries>
+  <geometry id="tri-geom"><mesh>
+   <source id="pos"><float_array id="pos-arr" count="9">0 0 0 1 0 0 0 1 0</float_array>
+    <technique_common><accessor source="#pos-arr" count="3" stride="3"/></technique_common>
+   </source>
+   <vertices id="verts"><input semantic="POSITION" source="#pos"/></vertices>
+   <triangles material="red" count="1">
+    <input semantic="VERTEX" source="#verts" offset="0"/>
+    <p>0 1 2</p>
+   </triangles>
+  </mesh></geometry>
+ </library_geometries>
+ <library_visual_scenes>
+  <visual_scene id="scene">
+   <node name="tri">
+    <matrix>1 0 0 2 0 1 0 0 0 0 1 0 0 0 0 1</matrix>
+    <instance_geometry url="#tri-geom"/>
+   </node>
+  </visual_scene>
+ </library_visual_scenes>
+ <scene><instance_visual_scene url="#scene"/></scene>
+</COLLADA>
+"""
+    p = tmp_path / "tri.dae"
+    p.write_text(dae)
+    mesh = sl.Mesh(str(p), physics=False)
+    c = mesh.consolidated
+    assert c.faces.shape == (1, 3)
+    # node matrix translates x by 2
+    assert abs(float(c.positions[:, 0].min()) - 2.0) < 1e-6
+    gm = c.materials[0]
+    np.testing.assert_allclose(gm.base_color, [1, 0, 0, 1], atol=1e-6)

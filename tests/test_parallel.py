@@ -105,3 +105,40 @@ def test_pose_gradients_through_renderer():
     g = jax.grad(loss)(delta0)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0, "gradient is identically zero"
+
+
+def test_hybrid_mesh_2d_sharding(template):
+    """2-D hosts x chips hybrid mesh (parallel.distributed): the scene batch
+    shards over both axes; single-process it degenerates to (1, 8) but the
+    same program covers multi-host DCN x ICI (SURVEY.md §2.9 required
+    addition)."""
+    from stillleben_tpu.parallel.distributed import (
+        initialize,
+        local_batch_slice,
+        make_hybrid_mesh,
+        shard_keys,
+    )
+
+    # no coordinator configured -> single-process fallback, no crash
+    assert initialize() is False
+
+    mesh = make_hybrid_mesh()
+    assert mesh.axis_names == ("hosts", "scenes")
+    assert mesh.devices.shape == (1, 8)
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 16)
+    frames = generate_batch_sharded(
+        keys, template, CFG, default_config(), mesh=mesh, settle_iterations=5
+    )
+    jax.block_until_ready(frames.rgb)
+    assert frames.rgb.shape == (16, 48, 48, 4)
+    # two scenes per device, sharded over the flattened 2-D mesh
+    shard_shapes = {s.data.shape for s in frames.rgb.addressable_shards}
+    assert shard_shapes == {(2, 48, 48, 4)}
+
+    # this (only) process owns the whole batch
+    assert local_batch_slice(16, mesh) == slice(0, 16)
+
+    # explicit 2-D key placement helper
+    k2 = shard_keys(keys, mesh)
+    assert {s.data.shape[0] for s in k2.addressable_shards} == {2}
