@@ -182,3 +182,64 @@ def test_render_debug_image(cube_glb):
     assert img.shape == (64, 64, 4)
     # axis overlay drew some saturated pixels
     assert (img[..., :3] == 255).any()
+
+
+def test_viewer_interactive_controls(cube_glb):
+    """The scriptable viewer core: physics run/pause/step, object reset,
+    shading/exposure controls (reference src/viewer.cpp menu semantics)."""
+    mesh = sl.Mesh(cube_glb)
+    scene = sl.Scene((48, 48))
+    obj = sl.Object(mesh)
+    T = np.eye(4, dtype=np.float32)
+    T[2, 3] = 1.0
+    obj.set_pose(T)
+    scene.add_object(obj)
+    scene.set_camera_look_at([3.0, 0.0, 1.0], [0.0, 0.0, 0.5])
+
+    v = sl.Viewer(scene)
+    # paused: step() is a no-op
+    v.step()
+    np.testing.assert_allclose(scene.objects[0].pose(), T)
+    # running: gravity pulls the cube down
+    v.toggle_simulation()
+    for _ in range(10):
+        v.step()
+    assert scene.objects[0].pose()[2, 3] < T[2, 3] - 1e-3
+    assert v.sim_iteration == 10
+    # reset restores the initial pose
+    v.reset_objects()
+    np.testing.assert_allclose(scene.objects[0].pose(), T)
+    assert v.sim_iteration == 0
+    # shading cycle + exposure + segmentation toggle all re-render fine
+    v.cycle_shading()
+    assert v.shading == "flat"
+    v.adjust_exposure(+1.0)
+    assert scene.manual_exposure == 2.0
+    v.show_instances = False
+    img = v.dashboard()
+    assert img.shape == (96, 96, 3)
+
+
+def test_arcball_orbit():
+    """Arcball drags orbit the eye at constant radius and keep the pose rigid
+    (reference src/utils/arc_ball.cpp behavior)."""
+    from stillleben_tpu.utils.arcball import ArcBall
+
+    ball = ArcBall(eye=[0, -3, 1], center=[0, 0, 0.5], up=[0, 0, 1], window_size=(200, 200))
+    r0 = np.linalg.norm(np.asarray(ball.eye) - ball.center)
+    ball.start(100, 100)
+    moved = ball.drag(140, 90)
+    assert moved
+    r1 = np.linalg.norm(ball.eye - ball.center)
+    assert abs(r1 - r0) < 1e-9  # orbit preserves radius
+    T = ball.camera_pose()
+    R = T[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    assert abs(np.linalg.det(R) - 1.0) < 1e-5
+    # camera still looks at the center: center is on the +z axis
+    c_cam = R.T @ (np.asarray(ball.center) - T[:3, 3])
+    assert c_cam[2] > 0
+    np.testing.assert_allclose(c_cam[:2], 0.0, atol=1e-6)
+    # dolly zoom moves along the view ray
+    ball.zoom(2.0)
+    assert abs(np.linalg.norm(ball.eye - ball.center) - r1 / 2) < 1e-9
