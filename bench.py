@@ -133,7 +133,7 @@ def main():
         max_lights=1,
         shadow_size=int(os.environ.get("BENCH_SHADOW", "0")),
         tile_capacity=int(os.environ.get("BENCH_TILE_CAP", "128")),
-        fine_chunk=int(os.environ.get("BENCH_FINE_CHUNK", "32")),
+        fine_chunk=int(os.environ.get("BENCH_FINE_CHUNK", "128")),
         sample_textures=has_tex,
         sample_stickers=False,
     )

@@ -1,11 +1,18 @@
 """Pallas TPU kernel for the binned rasterizer's fine stage.
 
-Fuses, per (tile, triangle-chunk) grid cell, the edge-function matmul
-(MXU: (5C,3) x (3,256)), the inside/depth tests, and the z-buffer reduction
-— entirely in VMEM. The XLA fallback in rasterize_tiled materializes the
-(n_tiles, 5C, 256) edge tensor in HBM per chunk; this kernel never does,
-cutting the fine stage's HBM traffic to the triangle tables + the final
-(n_tiles, 256) depth/id images.
+Fuses, per (tile, triangle-chunk) grid cell, the edge-function evaluation,
+the inside/depth tests, and the z-buffer reduction — entirely in VMEM. The
+XLA fallback in rasterize_tiled materializes the (n_tiles, 5C, 256) edge
+tensor in HBM per chunk; this kernel never does.
+
+Layout is chosen for the TPU's (8, 128) tiling: the packed line table G keeps
+the TRIANGLE axis minor — G[tile, chunk, field, tri] with 16 fields
+(15 line coefficients + 1 pad row). A layout with the 3 coefficients minor
+(the v1 kernel's (5C, 3) matmul operand) pads 3 -> 128 in HBM, a 42x blowup
+that OOMs the 2048^2 shadow pass; it also ran the MXU at a contraction depth
+of 3 (2% utilization). Edge values are instead computed as rank-1 broadcasts
+on the VPU (lx (x) X + ly (x) Y + lc), and the per-tile pixel coordinates are
+recomputed from the grid index — no pixel-matrix input at all.
 
 The grid's minor dimension walks the chunks of one tile sequentially, so the
 output blocks act as accumulators (the standard revisiting-output pattern).
@@ -20,22 +27,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PIX = 256  # 16x16 tile pixels, flattened (2 x 128 lanes)
+TILE = 16  # default tile edge; PIX = TILE^2 lanes per tile row
+PIX = TILE * TILE
+FIELDS = 16  # 15 line coefficients [L0|L1|L2|Lsum|Lz] x (x,y,c) + 1 pad row
 
 
-def _kernel(a_ref, p_ref, ids_ref, md_ref, w_ref, t_ref, *, near, far, chunk):
+def _kernel(off_ref, g_ref, ids_ref, md_ref, w_ref, t_ref, *, near, far, tw,
+            tile):
+    pix_n = tile * tile
+    i = pl.program_id(0) + off_ref[0]  # global tile id (slab offset in SMEM)
     j = pl.program_id(1)
-    C = chunk
 
-    A = a_ref[0, 0]  # (5C, 3) rows: [L0 | L1 | L2 | Lsum | Lz]
-    P = p_ref[0]  # (3, PIX)
-    R = jnp.dot(A, P, preferred_element_type=jnp.float32)  # (5C, PIX)
+    G = g_ref[0, 0]  # (FIELDS, C)
+    # per-tile pixel centers from the grid index (no Pmat input); Mosaic only
+    # has integer iota, so index math stays i32 until the final convert
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, pix_n), 1)
+    tile_ox = jnp.float32(tile) * jnp.float32(jax.lax.rem(i, tw))
+    tile_oy = jnp.float32(tile) * jnp.float32(jax.lax.div(i, tw))
+    X = tile_ox + jax.lax.rem(pix, tile).astype(jnp.float32) + 0.5  # (1, pix_n)
+    Y = tile_oy + jax.lax.div(pix, tile).astype(jnp.float32) + 0.5
 
-    E0 = R[:C]
-    E1 = R[C : 2 * C]
-    E2 = R[2 * C : 3 * C]
-    Esum = R[3 * C : 4 * C]
-    Ez = R[4 * C : 5 * C]
+    def edge(g):  # E_g(p) = lx*x + ly*y + lc as a rank-1 broadcast (C, PIX)
+        lx = G[3 * g + 0][:, None]
+        ly = G[3 * g + 1][:, None]
+        lc = G[3 * g + 2][:, None]
+        return lx * X + ly * Y + lc
+
+    E0, E1, E2, Esum, Ez = edge(0), edge(1), edge(2), edge(3), edge(4)
 
     inside = ((E0 >= 0) & (E1 >= 0) & (E2 >= 0)) | (
         (E0 <= 0) & (E1 <= 0) & (E2 <= 0)
@@ -77,19 +95,26 @@ def _kernel(a_ref, p_ref, ids_ref, md_ref, w_ref, t_ref, *, near, far, chunk):
         w_ref[0, 0] = jnp.where(better, bw, w_ref[0, 0])
 
 
-@functools.partial(jax.jit, static_argnames=("near", "far", "chunk", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("near", "far", "chunk", "tw", "interpret", "tile")
+)
 def fine_raster_pallas(
-    A: jax.Array,  # (n_tiles, n_chunks, 5C, 3) packed line coefficients
-    Pmat: jax.Array,  # (n_tiles, 3, PIX) pixel matrix
+    G: jax.Array,  # (n_tiles, n_chunks, FIELDS, C) line fields, tri-minor
     ids: jax.Array,  # (n_tiles, n_chunks, C) i32, -1 = masked
-    md_tiles: jax.Array,  # (n_tiles, PIX) depth-peel minimum depth
+    md_tiles: jax.Array,  # (n_tiles, tile^2) depth-peel minimum depth
     near: float,
     far: float,
     chunk: int,
+    tw: int,  # tiles per image row (pixel coords recomputed in-kernel)
     interpret: bool = False,
+    tile_offset: jax.Array | None = None,  # global id of tile row 0 (slabs)
+    tile: int = TILE,  # tile edge in pixels (shadow passes use bigger tiles)
 ):
-    n_tiles, n_chunks = A.shape[0], A.shape[1]
-    kernel = functools.partial(_kernel, near=near, far=far, chunk=chunk)
+    PIX = tile * tile
+    n_tiles, n_chunks = G.shape[0], G.shape[1]
+    kernel = functools.partial(_kernel, near=near, far=far, tw=tw, tile=tile)
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
     # TPU block constraints: the LAST TWO dims of each block must be
     # (divisible by 8, divisible by 128) or equal to the array dims — give
     # every operand a trailing singleton "row" dim where needed.
@@ -99,9 +124,8 @@ def fine_raster_pallas(
         kernel,
         grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, 1, 5 * chunk, 3), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, PIX), lambda i, j: (i, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tile_offset scalar
+            pl.BlockSpec((1, 1, FIELDS, chunk), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, chunk), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -117,5 +141,5 @@ def fine_raster_pallas(
             jax.ShapeDtypeStruct((n_tiles, 1, PIX), jnp.int32),
         ),
         interpret=interpret,
-    )(A, Pmat, ids4, md3)
+    )(tile_offset, G, ids4, md3)
     return w[:, 0], t[:, 0]

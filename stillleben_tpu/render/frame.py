@@ -33,7 +33,8 @@ class FrameConfig(NamedTuple):
     shadow_size: int = 0  # 0 = auto: the reference's 2048^2 on TPU
     # (render_pass.cpp:271-294), 512^2 on CPU hosts (CI speed)
     max_lights: int = 3  # STATIC cap on shaded/shadowed light slots
-    fine_chunk: int = 64  # triangles per fine-raster scan step (memory knob)
+    fine_chunk: int = 128  # triangles per fine-raster step; 128 = the TPU
+    # lane width (an unaligned chunk pads the gathered line table in HBM)
     sample_textures: bool = True  # STATIC: skip texture fetches when none exist
     sample_stickers: bool = True
     use_pallas: bool | None = None  # None = auto (TPU yes, CPU no);

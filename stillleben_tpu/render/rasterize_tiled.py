@@ -37,6 +37,8 @@ PIX = TILE * TILE  # 256: last-axis size, 2x128 lanes
 SPAN_TILES = 4
 MAX_SPAN = SPAN_TILES * SPAN_TILES
 PIXEL_WINDOW = 4  # tiny-class bbox limit in pixels
+MAX_TILES_PER_PASS = 4096  # slab size for the Pallas fine stage (caps the
+# gathered line-table transient at high tile counts, e.g. 2048^2 shadows)
 
 
 def _edge_lines(v):
@@ -61,16 +63,24 @@ def rasterize_vertices(
     min_depth: jax.Array | None,
     pixel_stage: bool = True,
     use_pallas: bool | None = None,
+    tile: int = TILE,
 ):
     """Core binned z-buffer. Returns (depth, tri_id, front) images; callers
     recompute barycentrics for the winners (differentiably, in shading).
 
     For perspective rendering depth_attr = w (camera z). For ortho passes
     (shadow maps) pass w == 1 per vertex and the light-space z as depth_attr.
+
+    ``tile`` is the bin edge in pixels. The span classes scale with it:
+    "medium" covers up to SPAN_TILES*tile pixels — high-resolution shadow
+    passes use bigger tiles so ordinary triangles stay in per-tile lists
+    instead of overflowing the global big list (and so the fine grid stays
+    ~1k cells instead of 16k).
     """
     F = v.shape[0]
-    tw = -(-width // TILE)
-    th = -(-height // TILE)
+    pix = tile * tile
+    tw = -(-width // tile)
+    th = -(-height // tile)
     n_tiles = tw * th
 
     w = v[..., 2]
@@ -111,10 +121,10 @@ def rasterize_vertices(
         # everything goes through the tile lists
         tiny = jnp.zeros_like(active)
 
-    tx0 = (x0 / TILE).astype(jnp.int32)
-    tx1 = (x1 / TILE).astype(jnp.int32)
-    ty0 = (y0 / TILE).astype(jnp.int32)
-    ty1 = (y1 / TILE).astype(jnp.int32)
+    tx0 = (x0 / tile).astype(jnp.int32)
+    tx1 = (x1 / tile).astype(jnp.int32)
+    ty0 = (y0 / tile).astype(jnp.int32)
+    ty1 = (y1 / tile).astype(jnp.int32)
     span_x = tx1 - tx0 + 1
     span_y = ty1 - ty0 + 1
     small = active & all_front & ~tiny & (span_x <= SPAN_TILES) & (span_y <= SPAN_TILES)
@@ -143,7 +153,12 @@ def rasterize_vertices(
         jnp.arange(F, dtype=jnp.int32)[:, None], (F, MAX_SPAN)
     ).reshape(-1)
 
-    order = jnp.argsort(key)
+    # batch-aware sort: under the datagen vmap, XLA's batched sort is
+    # ~600x slower than one flat (batch, key) sort (vmapped searchsorted and
+    # gathers measure fine; only the sort needs the custom batching rule)
+    from ..ops.batched_sort import bounded_argsort
+
+    order = bounded_argsort(key, n_tiles + 4)
     sorted_key = key[order]
     sorted_tri = pair_tri[order]
     sorted_tile = jnp.floor(sorted_key).astype(jnp.int32)
@@ -177,24 +192,15 @@ def rasterize_vertices(
     K = tile_tris.shape[1]
 
     # ---- fine stage -----------------------------------------------------------
-    pad_w = tw * TILE
-    pad_h = th * TILE
+    pad_w = tw * tile
+    pad_h = th * tile
     if min_depth is None:
         md = jnp.zeros((pad_h, pad_w), jnp.float32)
     else:
         md = jnp.pad(min_depth, ((0, pad_h - height), (0, pad_w - width)))
     md_tiles = (
-        md.reshape(th, TILE, tw, TILE).transpose(0, 2, 1, 3).reshape(n_tiles, PIX)
+        md.reshape(th, tile, tw, tile).transpose(0, 2, 1, 3).reshape(n_tiles, pix)
     )
-
-    # per-tile pixel matrix P: (n_tiles, 3, PIX) rows = (x, y, 1)
-    txy = jnp.arange(n_tiles, dtype=jnp.int32)
-    tile_ox = (txy % tw * TILE).astype(jnp.float32)
-    tile_oy = (txy // tw * TILE).astype(jnp.float32)
-    l = jnp.arange(TILE, dtype=jnp.float32) + 0.5
-    pxx = tile_ox[:, None] + jnp.tile(l, TILE)[None, :]  # (n_tiles, PIX)
-    pyy = tile_oy[:, None] + jnp.repeat(l, TILE)[None, :]
-    Pmat = jnp.stack([pxx, pyy, jnp.ones_like(pxx)], axis=1)  # (n_tiles, 3, PIX)
 
     # precompute per-triangle edge lines and the depth-weighted line:
     # wp(p) = (sum_k E_k(p) * z_k) / (sum_k E_k(p)). Packed into ONE table so
@@ -211,36 +217,60 @@ def rasterize_vertices(
     pad_k = n_chunks * fine_chunk - K
 
     if use_pallas:
-        from ..ops.fine_raster import fine_raster_pallas
+        from ..ops.fine_raster import FIELDS, fine_raster_pallas
 
         ids_masked = jnp.where(tile_ok, tile_tris, -1)
         ids_c = jnp.pad(ids_masked, ((0, 0), (0, pad_k)), constant_values=-1)
         ids_c = ids_c.reshape(n_tiles, n_chunks, fine_chunk)
-        Lc = Lcat[jnp.maximum(tile_tris, 0)]  # (n_tiles, K, 15)
-        Lc = jnp.pad(Lc, ((0, 0), (0, pad_k), (0, 0)))
-        Lc = Lc.reshape(n_tiles, n_chunks, fine_chunk, 15)
-        # rows ordered [L0 | L1 | L2 | Lsum | Lz] within each chunk
-        A = jnp.concatenate(
-            [Lc[..., 0:3], Lc[..., 3:6], Lc[..., 6:9], Lc[..., 9:12], Lc[..., 12:15]],
-            axis=2,
-        )  # (n_tiles, n_chunks, 5C, 3)
+        # Line table with the TRIANGLE axis minor: a (..., 15) layout pads
+        # 15 -> 128 in HBM (8.5x) and the v1 (..., 5C, 3) matmul operand
+        # pads 3 -> 128 (42x — OOM'd the 2048^2 shadow pass).
+        LT = jnp.pad(Lcat, ((0, 0), (0, FIELDS - 15))).T  # (FIELDS, F)
         # Hard-raster visibility is non-differentiable by design (the
         # reference's trick too: gradients flow only through the
         # barycentrics recomputed in shading). Stop tangents BEFORE the
         # pallas_call — JVP tracing of a pallas_call is unsupported, and
         # with all-zero tangents JAX skips the JVP rule entirely.
-        A = jax.lax.stop_gradient(A)
-        Pm = jax.lax.stop_gradient(Pmat)
+        LT = jax.lax.stop_gradient(LT)
         mdt = jax.lax.stop_gradient(md_tiles)
         # off-TPU (tests, CPU CI) the kernel runs in interpret mode so the
         # Pallas path is exercised without hardware
         interpret = jax.devices()[0].platform != "tpu"
-        depth_t, tri_t = fine_raster_pallas(
-            A, Pm, ids_c, mdt, float(near), float(far), fine_chunk,
-            interpret=interpret,
-        )
-        depth_img = untile_img(depth_t, tw, th, pad_h, pad_w, height, width)
-        tri_img = untile_img(tri_t, tw, th, pad_h, pad_w, height, width)
+
+        def run_slab(ids_slab, md_slab, offset):
+            """Gather + kernel for one slab of tiles (the gathered G table is
+            the peak-memory tensor; slabbing bounds it at high tile counts)."""
+            nts = ids_slab.shape[0]
+            g = jnp.take(LT, jnp.maximum(ids_slab, 0).reshape(-1), axis=1)
+            g = g.reshape(FIELDS, nts, n_chunks, fine_chunk).transpose(1, 2, 0, 3)
+            return fine_raster_pallas(
+                g, ids_slab, md_slab, float(near), float(far), fine_chunk, tw,
+                interpret=interpret, tile_offset=offset.reshape(1), tile=tile,
+            )
+
+        if n_tiles <= MAX_TILES_PER_PASS:
+            depth_t, tri_t = run_slab(ids_c, mdt, jnp.zeros((1,), jnp.int32))
+        else:
+            slab = MAX_TILES_PER_PASS
+            pad_t = (-n_tiles) % slab
+            ids_p = jnp.pad(
+                ids_c, ((0, pad_t), (0, 0), (0, 0)), constant_values=-1
+            )
+            md_p = jnp.pad(mdt, ((0, pad_t), (0, 0)))
+            ns = ids_p.shape[0] // slab
+            offs = (jnp.arange(ns, dtype=jnp.int32) * slab)[:, None]
+            depth_s, tri_s = jax.lax.map(
+                lambda args: run_slab(*args),
+                (
+                    ids_p.reshape(ns, slab, n_chunks, fine_chunk),
+                    md_p.reshape(ns, slab, pix),
+                    offs,
+                ),
+            )
+            depth_t = depth_s.reshape(ns * slab, pix)[:n_tiles]
+            tri_t = tri_s.reshape(ns * slab, pix)[:n_tiles]
+        depth_img = untile_img(depth_t, tw, th, pad_h, pad_w, height, width, tile)
+        tri_img = untile_img(tri_t, tw, th, pad_h, pad_w, height, width, tile)
         if pixel_stage:
             depth_img, tri_img = _pixel_stage(
                 v, Lf, depth_attr, tiny, x0, y0, width, height, near, far,
@@ -250,6 +280,16 @@ def rasterize_vertices(
                 depth_img, tri_img,
             )
         return depth_img, tri_img
+
+    # per-tile pixel matrix P: (n_tiles, 3, PIX) rows = (x, y, 1) — only the
+    # XLA fallback path needs it (the Pallas kernel recomputes pixel coords)
+    txy = jnp.arange(n_tiles, dtype=jnp.int32)
+    tile_ox = (txy % tw * tile).astype(jnp.float32)
+    tile_oy = (txy // tw * tile).astype(jnp.float32)
+    l = jnp.arange(tile, dtype=jnp.float32) + 0.5
+    pxx = tile_ox[:, None] + jnp.tile(l, tile)[None, :]  # (n_tiles, pix)
+    pyy = tile_oy[:, None] + jnp.repeat(l, tile)[None, :]
+    Pmat = jnp.stack([pxx, pyy, jnp.ones_like(pxx)], axis=1)  # (n_tiles, 3, PIX)
 
     tile_tris_c = (
         jnp.pad(tile_tris, ((0, 0), (0, pad_k)))
@@ -264,8 +304,8 @@ def rasterize_vertices(
 
     inf = jnp.float32(jnp.inf)
     init = (
-        jnp.full((n_tiles, PIX), inf, jnp.float32),
-        jnp.full((n_tiles, PIX), -1, jnp.int32),
+        jnp.full((n_tiles, pix), inf, jnp.float32),
+        jnp.full((n_tiles, pix), -1, jnp.int32),
     )
 
     def chunk_step(carry, data):
@@ -285,7 +325,7 @@ def rasterize_vertices(
         R = jnp.einsum(
             "nkj,njp->nkp", A, Pmat, preferred_element_type=jnp.float32
         )  # (n_tiles, C*5, PIX)
-        E = R[:, : C * 3].reshape(n_tiles, C, 3, PIX)
+        E = R[:, : C * 3].reshape(n_tiles, C, 3, pix)
         Esum = R[:, C * 3 : C * 4]  # (n_tiles, C, PIX)
         Ez = R[:, C * 4 :]
 
@@ -313,8 +353,8 @@ def rasterize_vertices(
 
     (depth_t, tri_t), _ = jax.lax.scan(chunk_step, init, (tile_tris_c, tile_ok_c))
 
-    depth_img = untile_img(depth_t, tw, th, pad_h, pad_w, height, width)
-    tri_img = untile_img(tri_t, tw, th, pad_h, pad_w, height, width)
+    depth_img = untile_img(depth_t, tw, th, pad_h, pad_w, height, width, tile)
+    tri_img = untile_img(tri_t, tw, th, pad_h, pad_w, height, width, tile)
 
     # ---- exact per-pixel stage for tiny triangles -----------------------------
     if pixel_stage:
@@ -328,10 +368,10 @@ def rasterize_vertices(
     return depth_img, tri_img
 
 
-def untile_img(x, tw, th, pad_h, pad_w, height, width):
-    """(n_tiles, PIX) tile-major -> (H, W) image."""
+def untile_img(x, tw, th, pad_h, pad_w, height, width, tile=TILE):
+    """(n_tiles, tile^2) tile-major -> (H, W) image."""
     return (
-        x.reshape(th, tw, TILE, TILE)
+        x.reshape(th, tw, tile, tile)
         .transpose(0, 2, 1, 3)
         .reshape(pad_h, pad_w)[:height, :width]
     )
@@ -384,7 +424,9 @@ def _pixel_stage(
     key = jnp.where(
         covers, pix_id.astype(jnp.float32) + zn, jnp.float32(n_px + 2)
     ).reshape(-1)
-    order = jnp.argsort(key)
+    from ..ops.batched_sort import bounded_argsort
+
+    order = bounded_argsort(key, n_px + 4)
     sorted_key = key[order]
     starts = jnp.clip(
         jnp.searchsorted(sorted_key, jnp.arange(n_px, dtype=jnp.float32)),

@@ -37,16 +37,22 @@ def _ortho_rasterize_depth(
 
     p = jnp.concatenate([xy, jnp.ones_like(xy[:, :1])], -1)[faces]  # (F,3,3)
     zf = z[faces]  # (F, 3)
-    # per-tile occupancy falls with resolution (same casters spread over
-    # size^2/256 tiles), so the capacity the fine stage pays for shrinks as
-    # the map grows — 2048^2 maps cost ~the same fine work as 512^2
-    tile_capacity = max(128, 512 * (512 * 512) // (size * size))
+    # High-res maps use BIGGER bins: at 2048^2 with 16 px tiles, ordinary
+    # object faces (~200 px) overflow the global big-triangle list and the
+    # fine grid balloons to 16k cells. 64 px tiles keep the same content in
+    # per-tile lists (span class covers <= 256 px) over ~1k cells; sub-4px
+    # triangles (dense scanned meshes) still take the exact per-pixel stage.
+    tile = 64 if size >= 1024 else 16
     depth_img, _ = rasterize_vertices(
         p, zf, tri_on, size, size,
         near=-1e-3, far=1.0,
-        tile_capacity=tile_capacity, big_capacity=64, fine_chunk=32,
+        tile_capacity=256, big_capacity=16, fine_chunk=128,
         min_depth=None,
         use_pallas=use_pallas,
+        tile=tile,
+        # worth its cost only for dense meshes (same heuristic as the
+        # camera raster, rasterize_tiled.rasterize_tiled)
+        pixel_stage=faces.shape[0] > 20_000,
     )
     return jnp.minimum(depth_img, 1.0)
 

@@ -86,3 +86,21 @@ def test_grad_through_pallas_render(settled):
     assert np.isfinite(float(val))
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0, "gradient is identically zero"
+
+
+def test_pallas_slab_path_matches_single_pass(settled, monkeypatch):
+    """The slabbed fine stage (used when the tile count exceeds
+    MAX_TILES_PER_PASS, e.g. 2048^2 shadow maps) is bit-identical to the
+    single-pass path."""
+    import stillleben_tpu.render.rasterize_tiled as rt
+
+    tpl, poses, cam, light = settled
+    one = render_with_poses(tpl, poses, cam, CFG_PALLAS, light)
+    monkeypatch.setattr(rt, "MAX_TILES_PER_PASS", 2)
+    slabbed = render_with_poses(tpl, poses, cam, CFG_PALLAS, light)
+    np.testing.assert_array_equal(
+        np.asarray(one.instance_index), np.asarray(slabbed.instance_index)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(one.depth), np.asarray(slabbed.depth)
+    )

@@ -243,3 +243,34 @@ def test_arcball_orbit():
     # dolly zoom moves along the view ray
     ball.zoom(2.0)
     assert abs(np.linalg.norm(ball.eye - ball.center) - r1 / 2) < 1e-9
+
+
+def test_align_session(cube_glb, tmp_path):
+    """Interactive align_mesh core (reference tools/align_mesh GUI operation
+    set): rotations/translations/scale compose onto the pretransform, render
+    works, sidecar write round-trips through Mesh loading."""
+    import shutil
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from align_mesh import AlignSession
+
+    mesh_path = tmp_path / "cube.glb"
+    shutil.copy(cube_glb, mesh_path)
+    mesh = sl.Mesh(str(mesh_path), physics=False)
+
+    s = AlignSession(mesh)
+    s.rotate(2, 90.0)  # +90 about z
+    s.translate(0, 0.5)
+    s.scale(2.0)
+    P = mesh.pretransform
+    # scale is uniform 2, rotation is 90 deg about z, translation doubled+rotated
+    R = P[:3, :3] / 2.0
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(R[:2, :2], [[0, -1], [1, 0]], atol=1e-5)
+    img = s.render(size=(64, 64))
+    assert img.shape == (64, 64, 3)
+
+    s.write()
+    mesh2 = sl.Mesh(str(mesh_path), physics=False)  # sidecar auto-loads
+    np.testing.assert_allclose(mesh2.pretransform, P, atol=1e-6)
