@@ -43,6 +43,8 @@ class FrameConfig(NamedTuple):
     # "pcf" (reference-exact 4x4 compare, render_shader.frag:321-338)
     texture_filter: str = "trilinear"  # mip-mapped "trilinear" (reference GL
     # default, context.cpp:617-649) | "bilinear" (single mip tap, cheaper)
+    shading_dtype: str = "auto"  # lighting-math precision: "auto" = bf16 on
+    # TPU / f32 elsewhere; GT buffers are always f32
     alpha_peel: bool = False  # raster-stage alpha cutoff via re-raster of
     # discarded pixels; enable when atlas.has_cutout_materials(atlas)
     alpha_peel_rounds: int = 1  # overlapping-cutout depth (1 covers one layer)
@@ -112,6 +114,7 @@ def render_frame_core(
             sample_stickers=cfg.sample_stickers,
             shadow_mode=cfg.shadow_mode,
             texture_filter=cfg.texture_filter,
+            shading_dtype=cfg.shading_dtype,
         )
 
     out = raster_and_shade(depth_peel_depth)

@@ -286,8 +286,12 @@ _BRDF_LUT_CACHE: jax.Array | None = None
 def get_brdf_lut() -> jax.Array:
     global _BRDF_LUT_CACHE
     if _BRDF_LUT_CACHE is None:
-        _BRDF_LUT_CACHE = brdf_lut()
-    return _BRDF_LUT_CACHE
+        # the first call may happen inside a jit trace: force eager eval and
+        # cache a HOST constant, otherwise the cache would capture a tracer
+        # and poison every later trace (UnexpectedTracerError)
+        with jax.ensure_compile_time_eval():
+            _BRDF_LUT_CACHE = np.asarray(brdf_lut())
+    return jnp.asarray(_BRDF_LUT_CACHE)
 
 
 # ---------------------------------------------------------------------------

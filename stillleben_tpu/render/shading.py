@@ -269,6 +269,7 @@ def shade(
     sample_stickers: bool = True,
     shadow_mode: str = "vsm",
     texture_filter: str = "trilinear",  # "trilinear" (reference GL) | "bilinear"
+    shading_dtype: str = "auto",  # "auto" (bf16 on TPU) | "bf16" | "f32"
 ) -> FrameOutputs:
     H, W = gbuf.tri_id.shape
     valid = gbuf.tri_id >= 0
@@ -394,11 +395,27 @@ def shade(
     NoV = jnp.clip(_dot3(normal, V), 1e-5, 1.0)
 
     if shading != "flat":
-        F0 = DIELECTRIC_SPECULAR * (1.0 - metallic) + base_color[:3] * metallic
-        Fr = jnp.maximum(1.0 - roughness, F0) - F0
-        k_S = F0 + Fr * (1.0 - NoV) ** 5
+        # lighting math runs in bf16 on TPU (half the VPU time + HBM traffic;
+        # output feeds a u8 image so 8 mantissa bits suffice). GT buffers and
+        # everything geometric stay f32.
+        if shading_dtype == "bf16" or (
+            shading_dtype == "auto" and jax.devices()[0].platform == "tpu"
+        ):
+            dt = jnp.bfloat16
+        else:
+            dt = jnp.float32
+        normal_l = normal.astype(dt)
+        V_l = V.astype(dt)
+        NoV_l = NoV.astype(dt)
+        metallic_l = metallic.astype(dt)
+        roughness_l = roughness.astype(dt)
+        base_l = base_color[:3].astype(dt)
 
-        color = jnp.zeros((3, H, W), jnp.float32)
+        F0 = DIELECTRIC_SPECULAR * (1.0 - metallic_l) + base_l * metallic_l
+        Fr = jnp.maximum(1.0 - roughness_l, F0) - F0
+        k_S = F0 + Fr * (1.0 - NoV_l) ** 5
+
+        color = jnp.zeros((3, H, W), dt)
         n_lights = min(inputs.light_directions.shape[0], max_lights)
         for i in range(n_lights):
             light_color = inputs.light_colors[i]
@@ -406,48 +423,51 @@ def shade(
             light_on = (jnp.any(light_color != 0)) & (jnp.any(light_dir != 0))
 
             def _light_contrib(i=i, light_color=light_color, light_dir=light_dir):
-                Ld = -light_dir / jnp.maximum(
-                    jnp.linalg.norm(light_dir), 1e-12
-                )  # (3,) scalars broadcast over planes
-                Hv = _normalize3(V + Ld[:, None, None])
-                NdotL = jnp.maximum(_dot3(normal, Ld[:, None, None]), 0.0)
-                NdotH = jnp.maximum(_dot3(normal, Hv), 0.0)
+                Ld = (
+                    -light_dir / jnp.maximum(jnp.linalg.norm(light_dir), 1e-12)
+                ).astype(dt)  # (3,) scalars broadcast over planes
+                Hv = _normalize3(V_l + Ld[:, None, None])
+                NdotL = jnp.maximum(_dot3(normal_l, Ld[:, None, None]), 0.0)
+                NdotH = jnp.maximum(_dot3(normal_l, Hv), 0.0)
 
-                NDF = _ggx_distribution(NdotH, roughness)
-                G = _geometry_smith(NoV, NdotL, roughness)
-                spec = (NDF * G) * k_S / jnp.maximum(4.0 * NoV * NdotL, 1e-3)
-                kD = (1.0 - k_S) * (1.0 - metallic)
+                NDF = _ggx_distribution(NdotH, roughness_l)
+                G = _geometry_smith(NoV_l, NdotL, roughness_l)
+                spec = (NDF * G) * k_S / jnp.maximum(
+                    dt(4.0) * NoV_l * NdotL, dt(1e-3)
+                )
+                kD = (1.0 - k_S) * (1.0 - metallic_l)
 
                 if shadow_maps is not None and shadow_matrices is not None:
+                    # shadow depth compares stay f32 (bias is 3e-5)
                     if shadow_mode == "vsm":
                         from .shadow import shadow_factor_vsm_planar
 
                         inv_shadow = shadow_factor_vsm_planar(
                             shadow_maps, shadow_matrices, i, world
-                        )
+                        ).astype(dt)
                     else:
                         from .shadow import shadow_factor_planar
 
                         inv_shadow = shadow_factor_planar(
                             shadow_maps, shadow_matrices, i, world
-                        )
+                        ).astype(dt)
                 else:
-                    inv_shadow = 1.0
+                    inv_shadow = dt(1.0)
 
                 return (
                     inv_shadow
-                    * (kD * base_color[:3] / jnp.pi + spec)
-                    * light_color[:, None, None]
+                    * (kD * base_l * dt(1.0 / jnp.pi) + spec)
+                    * light_color.astype(dt)[:, None, None]
                     * NdotL
                 )
 
             color = color + jax.lax.cond(
                 light_on,
                 _light_contrib,
-                lambda: jnp.zeros((3, H, W), jnp.float32),
+                lambda: jnp.zeros((3, H, W), dt),
             )
 
-        color = color + inputs.ambient_light[:, None, None] * base_color[:3]
+        color = color + inputs.ambient_light.astype(dt)[:, None, None] * base_l
 
         if light_map is not None:
             from .ibl import ibl_term
@@ -464,13 +484,13 @@ def shade(
                 tohwc(V),
                 NoV,
                 roughness,
-                tohwc(F0),
-                tohwc(k_S),
+                tohwc(F0.astype(jnp.float32)),
+                tohwc(k_S.astype(jnp.float32)),
                 tohwc(c_diff),
             )
-            color = color + jnp.moveaxis(ibl, -1, 0)
+            color = color + jnp.moveaxis(ibl, -1, 0).astype(dt)
 
-        color = color + emissive
+        color = color.astype(jnp.float32) + emissive
     else:
         color = base_color[:3]
 

@@ -32,7 +32,9 @@ def _make_kernel() -> np.ndarray:
     return np.asarray(samples, np.float32)
 
 
-_KERNEL = jnp.asarray(_make_kernel())
+# numpy on purpose: a module-level jnp constant would capture a TRACER
+# when this module is first imported inside a jit trace (lazy import)
+_KERNEL = _make_kernel()
 
 
 def _noise_rotation(H: int, W: int) -> jax.Array:
@@ -41,7 +43,7 @@ def _noise_rotation(H: int, W: int) -> jax.Array:
     n = rng.uniform(-1, 1, size=(4, 4, 2)).astype(np.float32)
     n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
     tiled = np.tile(n, (H // 4 + 1, W // 4 + 1, 1))[:H, :W]
-    return jnp.asarray(tiled)
+    return jnp.asarray(tiled)  # called inside traces; constant-folds per trace
 
 
 def compute_ssao(
@@ -71,7 +73,7 @@ def compute_ssao(
 
     occlusion = jnp.zeros((H, W), jnp.float32)
     for i in range(N_SAMPLES):
-        k = _KERNEL[i]
+        k = jnp.asarray(_KERNEL[i])
         s = T * k[0] + B * k[1] + N * k[2]  # TBN @ k
         sp = P + s * RADIUS  # view-space sample position
         z = jnp.maximum(sp[..., 2], 1e-4)

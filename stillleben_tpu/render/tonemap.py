@@ -13,8 +13,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-RGB_TO_LUM = jnp.array([0.2125, 0.7154, 0.0721], jnp.float32)
+RGB_TO_LUM = np.array([0.2125, 0.7154, 0.0721], np.float32)  # numpy: see ssao._KERNEL
 
 _RGB2XYZ = jnp.array(
     [

@@ -13,10 +13,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import math as m
 
-ELEVATION_LIMIT = jnp.deg2rad(30.0)
+ELEVATION_LIMIT = float(np.deg2rad(30.0))
 
 
 def _base_cam_rot() -> jax.Array:

@@ -450,3 +450,29 @@ def test_mip_sampler_levels():
         sample_combo_mip_planar(jnp.asarray(packed), tid, u, v, jnp.full((n, n), 6.5))
     )
     np.testing.assert_allclose(mid, 0.5 * (a + b), atol=1e-5)
+
+
+def test_bf16_shading_close_to_f32(bunny_scene):
+    """bf16 lighting math (TPU default) stays within u8 quantization noise of
+    the f32 reference (GT buffers are f32 in both)."""
+    from stillleben_tpu.render.render_pass import RenderPass
+
+    rp = sl.RenderPass(ssao=False)
+    atlas = rp._get_atlas(bunny_scene)
+    from stillleben_tpu.render.atlas import render_inputs_from_scene
+    from stillleben_tpu.render.frame import FrameConfig, render_frame
+
+    inputs = render_inputs_from_scene(bunny_scene, atlas)
+    W, H = bunny_scene.viewport
+    base = dict(width=W, height=H, ssao=False, max_lights=1, shadow_size=128)
+    f32 = render_frame(atlas, inputs, FrameConfig(shading_dtype="f32", **base))
+    b16 = render_frame(atlas, inputs, FrameConfig(shading_dtype="bf16", **base))
+    a = np.asarray(f32.rgb()[..., :3] if callable(getattr(f32, "rgb", None)) else f32.rgb[..., :3], np.int16)
+    b = np.asarray(b16.rgb[..., :3], np.int16)
+    # identical coverage, colors within a few u8 steps
+    np.testing.assert_array_equal(
+        np.asarray(f32.instance_index), np.asarray(b16.instance_index)
+    )
+    diff = np.abs(a - b)
+    assert np.quantile(diff, 0.99) <= 6, f"p99 color diff {np.quantile(diff, 0.99)}"
+    assert diff.mean() < 2.0, f"mean color diff {diff.mean()}"
