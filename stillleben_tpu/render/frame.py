@@ -40,7 +40,8 @@ class FrameConfig(NamedTuple):
     use_pallas: bool | None = None  # None = auto (TPU yes, CPU no);
     # True off-TPU runs the kernel in interpret mode (tests/CI)
     shadow_mode: str = "vsm"  # "vsm" (1 prefiltered tap, TPU-fast) |
-    # "pcf" (reference-exact 4x4 compare, render_shader.frag:321-338)
+    # "pcf" (reference-exact 4x4 compare, render_shader.frag:321-338) |
+    # "off" (no shadow maps at all)
     texture_filter: str = "trilinear"  # mip-mapped "trilinear" (reference GL
     # default, context.cpp:617-649) | "bilinear" (single mip tap, cheaper)
     shading_dtype: str = "auto"  # lighting-math precision: "auto" = bf16 on
@@ -78,7 +79,7 @@ def render_frame_core(
     # shadow maps (one ortho depth render per active light)
     shadow_maps = None
     shadow_matrices = None
-    if cfg.shading != "flat":
+    if cfg.shading != "flat" and cfg.shadow_mode != "off":
         from .shadow import render_shadow_maps
 
         shadow_maps, shadow_matrices = render_shadow_maps(

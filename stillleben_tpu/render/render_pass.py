@@ -165,6 +165,17 @@ class RenderPass:
         tile_capacity = int(min(2048, max(256, 1 << (max(density, 1) - 1).bit_length())))
         from .atlas import has_cutout_materials
 
+        # shadow rasters run per light SLOT (no data-dependent branching in
+        # the compiled program): cap the slots to the active prefix so a
+        # 1-light scene compiles 1 shadow pass, not 3. Uses the POST-merge
+        # slots (light-map analytic lights included).
+        ld = np.asarray(inputs.light_directions)
+        lc = np.asarray(inputs.light_colors)
+        active = [
+            i for i in range(ld.shape[0]) if np.any(ld[i]) and np.any(lc[i])
+        ]
+        max_lights = (max(active) + 1) if active else 1
+
         cfg = FrameConfig(
             width=W,
             height=H,
@@ -175,6 +186,7 @@ class RenderPass:
             sample_stickers=has_sticker,
             shadow_mode=self.shadow_mode,
             alpha_peel=has_cutout_materials(atlas),
+            max_lights=max_lights,
         )
 
         bg_image = None

@@ -461,11 +461,11 @@ def shade(
                     * NdotL
                 )
 
-            color = color + jax.lax.cond(
-                light_on,
-                _light_contrib,
-                lambda: jnp.zeros((3, H, W), dt),
-            )
+            # no lax.cond: under the datagen vmap both branches execute
+            # anyway, and the cond boundary breaks XLA fusion (materializes
+            # every captured plane to HBM). A multiply by the predicate is
+            # fused for free.
+            color = color + _light_contrib() * light_on.astype(dt)
 
         color = color + inputs.ambient_light.astype(dt)[:, None, None] * base_l
 

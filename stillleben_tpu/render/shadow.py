@@ -114,22 +114,15 @@ def render_shadow_maps(atlas: SceneAtlas, inputs: RenderInputs, geom, cfg):
         v = (wl[:, 1] / ext * 0.5 + 0.5) * size
         z = jnp.clip(wl[:, 2] / zmax, 0.0, 1.0)
 
-        # lax.cond so disabled light slots cost nothing at runtime
-        # (the reference's shadow pass also only runs for active lights,
-        # render_pass.cpp:407-460)
-        def _render_map():
-            d = _ortho_rasterize_depth(
-                jnp.stack([u, v], -1), z, atlas.faces, tri_on, size,
-                use_pallas=getattr(cfg, "use_pallas", None),
-            )
-            return build_vsm(d) if mode == "vsm" else d
-
-        def _empty_map():
-            if mode == "vsm":
-                return jnp.ones((size, size, 2), jnp.float32)
-            return jnp.ones((size, size), jnp.float32)
-
-        maps.append(jax.lax.cond(light_on, _render_map, _empty_map))
+        # no lax.cond: under the datagen vmap both branches would run
+        # anyway (batched predicates select, not branch) and the cond
+        # boundary breaks fusion. Inactive slots select the empty map.
+        d = _ortho_rasterize_depth(
+            jnp.stack([u, v], -1), z, atlas.faces, tri_on, size,
+            use_pallas=getattr(cfg, "use_pallas", None),
+        )
+        m_on = build_vsm(d) if mode == "vsm" else d
+        maps.append(jnp.where(light_on, m_on, jnp.ones_like(m_on)))
 
         # world -> (u_pix, v_pix, z_norm) affine matrix for lookup
         A = jnp.zeros((4, 4), jnp.float32)

@@ -54,18 +54,28 @@ def compute_ssao(
     width: int,
     height: int,
 ) -> jax.Array:
-    """(H, W) ambient occlusion in [0, 1] (1 = unoccluded)."""
+    """(H, W) ambient occlusion in [0, 1] (1 = unoccluded).
+
+    Planar (channel-plane) layout like the shading core — every per-pixel
+    quantity is an (H, W) plane so the VPU's full lane width applies — and
+    ONE flat gather per hemisphere sample: depth and validity are packed into
+    a single value (invalid pixels carry -inf), halving the 64-sample loop's
+    gather count."""
     H, W = valid.shape
-    P = cam_coords[..., :3]
-    N = normals_cam[..., :3]
+    P = jnp.moveaxis(cam_coords[..., :3], -1, 0)  # (3, H, W)
+    N = jnp.moveaxis(normals_cam[..., :3], -1, 0)
 
-    noise = _noise_rotation(H, W)
-    rvec = jnp.concatenate([noise, jnp.zeros((H, W, 1))], -1)
-    T = rvec - N * (rvec * N).sum(-1, keepdims=True)
-    T = T / jnp.maximum(jnp.linalg.norm(T, axis=-1, keepdims=True), 1e-9)
-    B = jnp.cross(N, T)
+    noise = jnp.moveaxis(_noise_rotation(H, W), -1, 0)  # (2, H, W)
+    rdotn = noise[0] * N[0] + noise[1] * N[1]
+    T = jnp.stack([noise[0], noise[1], jnp.zeros((H, W))]) - N * rdotn
+    tn = jnp.sqrt(T[0] ** 2 + T[1] ** 2 + T[2] ** 2)
+    T = T / jnp.maximum(tn, 1e-9)
+    B = jnp.cross(N, T, axis=0)
 
-    depth = P[..., 2]
+    depth = P[2]
+    # depth+validity packed into one gather: invalid pixels read as +inf,
+    # which both fails the occlusion compare and zeroes the range check
+    depth_v = jnp.where(valid, depth, jnp.inf).reshape(-1)
     fx = projection[0, 0] * W / 2
     fy = projection[1, 1] * H / 2
     cx = (projection[0, 2] + 1) * W / 2
@@ -73,16 +83,21 @@ def compute_ssao(
 
     occlusion = jnp.zeros((H, W), jnp.float32)
     for i in range(N_SAMPLES):
-        k = jnp.asarray(_KERNEL[i])
-        s = T * k[0] + B * k[1] + N * k[2]  # TBN @ k
-        sp = P + s * RADIUS  # view-space sample position
-        z = jnp.maximum(sp[..., 2], 1e-4)
-        u = jnp.clip((fx * sp[..., 0] / z + cx).astype(jnp.int32), 0, W - 1)
-        v = jnp.clip((fy * sp[..., 1] / z + cy).astype(jnp.int32), 0, H - 1)
-        sample_depth = depth[v, u]
-        sample_valid = valid[v, u]
-        range_check = jnp.clip(RADIUS / jnp.maximum(jnp.abs(depth - sample_depth), 1e-6), 0, 1)
-        occluded = (sample_depth <= sp[..., 2] - BIAS) & sample_valid
+        k = _KERNEL[i]
+        sx = T[0] * k[0] + B[0] * k[1] + N[0] * k[2]
+        sy = T[1] * k[0] + B[1] * k[1] + N[1] * k[2]
+        sz = T[2] * k[0] + B[2] * k[1] + N[2] * k[2]
+        px = P[0] + sx * RADIUS
+        py = P[1] + sy * RADIUS
+        pz = P[2] + sz * RADIUS
+        z = jnp.maximum(pz, 1e-4)
+        u = jnp.clip((fx * px / z + cx).astype(jnp.int32), 0, W - 1)
+        v = jnp.clip((fy * py / z + cy).astype(jnp.int32), 0, H - 1)
+        sample_depth = depth_v[v * W + u]  # +inf where the G-buffer is empty
+        range_check = jnp.clip(
+            RADIUS / jnp.maximum(jnp.abs(depth - sample_depth), 1e-6), 0, 1
+        )
+        occluded = sample_depth <= pz - BIAS  # False when sample_depth = inf
         occlusion = occlusion + occluded.astype(jnp.float32) * range_check
     ao = 1.0 - occlusion / N_SAMPLES
     return jnp.where(valid, ao, 1.0)

@@ -476,3 +476,33 @@ def test_bf16_shading_close_to_f32(bunny_scene):
     diff = np.abs(a - b)
     assert np.quantile(diff, 0.99) <= 6, f"p99 color diff {np.quantile(diff, 0.99)}"
     assert diff.mean() < 2.0, f"mean color diff {diff.mean()}"
+
+
+def test_ssao_darkens_object_only(cube_glb):
+    """SSAO multiplies AO into object RGB only (reference
+    ssao_apply_shader.frag) — it can only darken, and never touches the
+    background."""
+    mesh = sl.Mesh(cube_glb, physics=False)
+    scene = sl.Scene((96, 96))
+    a, b = sl.Object(mesh), sl.Object(mesh)
+    scene.add_object(a)
+    scene.add_object(b)
+    Tb = np.eye(4, dtype=np.float32)
+    Tb[:3, 3] = [0.0, 1.8, 0.6]  # touching corner -> concavities
+    b.set_pose(Tb)
+    scene.set_camera_look_at([4.5, 1.0, 1.5], [0.0, 0.9, 0.3])
+    scene.light_directions = np.array([[-0.5, -0.3, -0.8]], np.float32)
+    scene.light_colors = np.array([[3.0, 3.0, 3.0]], np.float32)  # not the
+    # 300-radiance default: u8 must not saturate or AO clips away
+    scene.manual_exposure = 1.0
+
+    off = sl.RenderPass(ssao=False).render(scene)
+    on = sl.RenderPass(ssao=True).render(scene)
+    rgb_off = np.asarray(off.rgb()).astype(np.int16)
+    rgb_on = np.asarray(on.rgb()).astype(np.int16)
+    inst = np.asarray(off.instance_index())
+    obj = inst > 0
+    # AO darkens some object pixels and brightens none (beyond rounding)
+    assert ((rgb_off - rgb_on)[obj][:, :3] >= -1).all()
+    assert ((rgb_off - rgb_on)[obj][:, :3] > 2).any(), "SSAO had no effect"
+    np.testing.assert_array_equal(rgb_off[~obj], rgb_on[~obj])
