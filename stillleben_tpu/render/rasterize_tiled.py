@@ -131,34 +131,47 @@ def rasterize_vertices(
     big = active & ~small & ~tiny
 
     # ---- tile pair list for medium triangles --------------------------------
+    # XLA's TPU sort is a bitonic network — O(n log^2 n) HBM passes — so the
+    # frame cost for dense meshes is DOMINATED by how many pair keys get
+    # sorted. Compact the medium class to a bounded id list first (cumsum +
+    # collision-free scatter, no sort) so the pair sort runs over
+    # med_cap x 16 instead of F x 16 mostly-sentinel keys.
+    med_cap = int(min(F, max(16384, F // 8)))
+    med_rank = jnp.cumsum(small.astype(jnp.int32)) - 1
+    med_src = jnp.where(small & (med_rank < med_cap), med_rank, med_cap)
+    arangeF = jnp.arange(F, dtype=jnp.int32)
+    med_ids = (
+        jnp.zeros((med_cap + 1,), jnp.int32)
+        .at[med_src]
+        .set(arangeF, mode="drop")[:med_cap]
+    )
+    med_ok = (
+        jnp.zeros((med_cap + 1,), bool).at[med_src].set(small, mode="drop")[:med_cap]
+    )
+
     s = jnp.arange(MAX_SPAN, dtype=jnp.int32)
     sx = s % SPAN_TILES
     sy = s // SPAN_TILES
-    pair_tx = tx0[:, None] + sx[None, :]
-    pair_ty = ty0[:, None] + sy[None, :]
+    pair_tx = tx0[med_ids][:, None] + sx[None, :]
+    pair_ty = ty0[med_ids][:, None] + sy[None, :]
     pair_ok = (
-        small[:, None]
-        & (sx[None, :] < span_x[:, None])
-        & (sy[None, :] < span_y[:, None])
+        med_ok[:, None]
+        & (sx[None, :] < span_x[med_ids][:, None])
+        & (sy[None, :] < span_y[med_ids][:, None])
     )
     pair_tile = pair_ty * tw + pair_tx
 
     znorm = jnp.clip(zmin / far, 0.0, 1.0) * 0.999
     key = jnp.where(
         pair_ok,
-        pair_tile.astype(jnp.float32) + znorm[:, None],
+        pair_tile.astype(jnp.float32) + znorm[med_ids][:, None],
         jnp.float32(n_tiles + 2),
     ).reshape(-1)
     pair_tri = jnp.broadcast_to(
-        jnp.arange(F, dtype=jnp.int32)[:, None], (F, MAX_SPAN)
+        med_ids[:, None], (med_cap, MAX_SPAN)
     ).reshape(-1)
 
-    # batch-aware sort: under the datagen vmap, XLA's batched sort is
-    # ~600x slower than one flat (batch, key) sort (vmapped searchsorted and
-    # gathers measure fine; only the sort needs the custom batching rule)
-    from ..ops.batched_sort import bounded_argsort
-
-    order = bounded_argsort(key, n_tiles + 4)
+    order = jnp.argsort(key)
     sorted_key = key[order]
     sorted_tri = pair_tri[order]
     sorted_tile = jnp.floor(sorted_key).astype(jnp.int32)
@@ -272,8 +285,9 @@ def rasterize_vertices(
         depth_img = untile_img(depth_t, tw, th, pad_h, pad_w, height, width, tile)
         tri_img = untile_img(tri_t, tw, th, pad_h, pad_w, height, width, tile)
         if pixel_stage:
-            depth_img, tri_img = _pixel_stage(
-                v, Lf, depth_attr, tiny, x0, y0, width, height, near, far,
+            depth_img, tri_img = _run_pixel_stages(
+                v, Lf, depth_attr, tiny, px_span_x, px_span_y, x0, y0,
+                width, height, near, far,
                 min_depth
                 if min_depth is not None
                 else jnp.zeros((height, width), jnp.float32),
@@ -358,8 +372,9 @@ def rasterize_vertices(
 
     # ---- exact per-pixel stage for tiny triangles -----------------------------
     if pixel_stage:
-        depth_img, tri_img = _pixel_stage(
-            v, Lf, depth_attr, tiny, x0, y0, width, height, near, far,
+        depth_img, tri_img = _run_pixel_stages(
+            v, Lf, depth_attr, tiny, px_span_x, px_span_y, x0, y0,
+            width, height, near, far,
             min_depth
             if min_depth is not None
             else jnp.zeros((height, width), jnp.float32),
@@ -377,20 +392,54 @@ def untile_img(x, tw, th, pad_h, pad_w, height, width, tile=TILE):
     )
 
 
+def _run_pixel_stages(
+    v, Lf, depth_attr, tiny, px_span_x, px_span_y, x0, y0,
+    width, height, near, far, min_depth, depth_img, tri_img,
+):
+    """Split the tiny class by bbox size before the sort-based exact stage:
+    sub-2px triangles (the bulk of dense scanned meshes) pay a 4-pair window,
+    and the 2-4px remainder is COMPACTED (cumsum scatter, no sort) before its
+    16-pair window — together ~6x less bitonic-sort traffic than one
+    F x 16 pass."""
+    F = v.shape[0]
+    tiny2 = tiny & (px_span_x <= 2) & (px_span_y <= 2)
+    depth_img, tri_img = _pixel_stage(
+        v, Lf, depth_attr, tiny2, x0, y0, width, height, near, far,
+        min_depth, depth_img, tri_img, window=2,
+    )
+    tiny4 = tiny & ~tiny2
+    cap4 = int(min(F, max(4096, F // 8)))
+    rank = jnp.cumsum(tiny4.astype(jnp.int32)) - 1
+    src = jnp.where(tiny4 & (rank < cap4), rank, cap4)
+    ar = jnp.arange(F, dtype=jnp.int32)
+    ids4 = jnp.zeros((cap4 + 1,), jnp.int32).at[src].set(ar, mode="drop")[:cap4]
+    ok4 = jnp.zeros((cap4 + 1,), bool).at[src].set(tiny4, mode="drop")[:cap4]
+    return _pixel_stage(
+        v[ids4], Lf[ids4], depth_attr[ids4], ok4, x0[ids4], y0[ids4],
+        width, height, near, far, min_depth, depth_img, tri_img,
+        window=4, tri_ids=ids4,
+    )
+
+
 def _pixel_stage(
     v, Lf, depth_attr, tiny, x0, y0, width, height, near, far, min_depth,
-    depth_img, tri_img,
+    depth_img, tri_img, window=PIXEL_WINDOW, tri_ids=None,
 ):
     """Exact z-buffer over the tiny class: evaluate center coverage for all
-    F x W^2 (tri, pixel) pairs, sort covering pairs by (pixel, depth), take
-    the first per pixel."""
+    F x window^2 (tri, pixel) pairs, sort covering pairs by (pixel, depth),
+    take the first per pixel. The sort is the cost (TPU sort is bitonic),
+    so callers split by bbox size: sub-2px triangles — the bulk of dense
+    scanned meshes — use window 2 (4 pairs/tri instead of 16).
+
+    ``tri_ids``: original triangle ids when the inputs are a compacted
+    subset (None = identity)."""
     F = v.shape[0]
     n_px = width * height
-    n_win = PIXEL_WINDOW * PIXEL_WINDOW
+    n_win = window * window
 
     win = jnp.arange(n_win, dtype=jnp.int32)
-    dx = win % PIXEL_WINDOW
-    dy = win // PIXEL_WINDOW
+    dx = win % window
+    dy = win // window
     px = x0.astype(jnp.int32)[:, None] + dx[None, :]
     py = y0.astype(jnp.int32)[:, None] + dy[None, :]
     in_image = (px < width) & (py < height)
@@ -424,9 +473,7 @@ def _pixel_stage(
     key = jnp.where(
         covers, pix_id.astype(jnp.float32) + zn, jnp.float32(n_px + 2)
     ).reshape(-1)
-    from ..ops.batched_sort import bounded_argsort
-
-    order = bounded_argsort(key, n_px + 4)
+    order = jnp.argsort(key)
     sorted_key = key[order]
     starts = jnp.clip(
         jnp.searchsorted(sorted_key, jnp.arange(n_px, dtype=jnp.float32)),
@@ -439,7 +486,10 @@ def _pixel_stage(
     )
 
     cw = jnp.where(hit, wp.reshape(-1)[first], jnp.inf).reshape(height, width)
-    ctri = (first // n_win).astype(jnp.int32).reshape(height, width)
+    ctri = (first // n_win).astype(jnp.int32)
+    if tri_ids is not None:
+        ctri = tri_ids[ctri]
+    ctri = ctri.reshape(height, width)
 
     better = cw < depth_img
     return (

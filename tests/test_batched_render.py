@@ -1,35 +1,9 @@
-"""Batch-aware sort helpers: vmapped results must equal per-row results
-(the custom_vmap rules rewrite to one flat sort for TPU speed)."""
+"""Batched rendering must equal per-scene rendering (the binning /
+pixel-stage compaction paths are batch-size independent)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from stillleben_tpu.ops.batched_sort import bounded_argsort
-
-
-def test_bounded_argsort_vmap_matches_per_row():
-    rng = np.random.default_rng(0)
-    n_bins, N, B = 1000, 5000, 6
-    keys = rng.integers(0, n_bins, (B, N)).astype(np.float32) + rng.random(
-        (B, N)
-    ).astype(np.float32) * 0.999
-    kb = jnp.asarray(keys)
-
-    batched = jax.jit(jax.vmap(lambda k: bounded_argsort(k, n_bins + 4)))(kb)
-    for b in range(B):
-        ref = np.argsort(keys[b], kind="stable")
-        got = np.asarray(batched[b])
-        # orders may differ on exact ties; compare sorted key sequences and
-        # that each is a permutation producing ascending keys
-        np.testing.assert_allclose(keys[b][got], keys[b][ref], rtol=0, atol=0)
-        assert sorted(got.tolist()) == list(range(N))
-
-    # unbatched call matches jnp.argsort
-    one = bounded_argsort(kb[0], n_bins + 4)
-    np.testing.assert_allclose(
-        np.asarray(keys[0][np.asarray(one)]), np.sort(keys[0]), atol=0
-    )
 
 
 def test_batched_render_matches_unbatched():
