@@ -15,13 +15,19 @@ Workload (BENCH_WORKLOAD env):
   "primitives" the round-1 10-primitive untextured workload (upper bound,
                kept for comparison).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "workload"}.
+Robustness: each configuration attempt runs under a wall-clock watchdog
+(SIGALRM) and an exception guard; on failure the bench DEGRADES (no Pallas
+kernel -> no shadows/SSAO -> primitives workload) instead of recording
+nothing. The JSON line's "config" field says which rung produced the number.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline is measured against the 500 scenes/sec/chip target from
 BASELINE.json (the reference repo publishes no numbers of its own).
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -30,12 +36,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import numpy as np
 
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
 TARGET_SCENES_PER_SEC = 500.0  # BASELINE.json north-star target
 WIDTH, HEIGHT = 640, 480
 N_OBJECTS = 10
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
-REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
 WORKLOAD = os.environ.get("BENCH_WORKLOAD", "textured")
+WARM_BUDGET = int(os.environ.get("BENCH_WARM_BUDGET", "420"))  # s per attempt
 BUNNY = "/root/reference/tests/stanford_bunny/scene.gltf"
 
 
@@ -69,7 +81,7 @@ def _sky_equirect(h=64, w=128):
     return sky.astype(np.float32)
 
 
-def build_template():
+def build_template(workload):
     import stillleben_tpu as sl
     from stillleben_tpu.parallel.batch import template_from_scene
     from stillleben_tpu.render.light_map import LightMap
@@ -79,13 +91,12 @@ def build_template():
     scene.seed(0)
     rng = np.random.default_rng(7)
 
-    meshes = []
     cube = sl.Mesh("primitive://cube")
     cube.scale_to_bbox_diagonal(0.2)
     sphere = sl.Mesh("primitive://sphere")
     sphere.scale_to_bbox_diagonal(0.15)
 
-    if WORKLOAD == "textured":
+    if workload == "textured":
         bunny = sl.Mesh(BUNNY)
         bunny.center_bbox()
         bunny.scale_to_bbox_diagonal(0.25)
@@ -104,7 +115,7 @@ def build_template():
         o.roughness = float(rng.random())
         scene.add_object(o)
 
-    if WORKLOAD == "textured":
+    if workload == "textured":
         sun_dir = np.array([0.3, 0.5, -0.8], np.float32)
         sun_dir /= np.linalg.norm(sun_dir)
         scene.light_map = LightMap.from_equirect(
@@ -116,57 +127,126 @@ def build_template():
     return template_from_scene(scene)
 
 
-def main():
+class _Watchdog(Exception):
+    pass
+
+
+def _alarm(_sig, _frm):
+    raise _Watchdog()
+
+
+def _attempt(label, tpl, cfg, solver_cfg, batch, sub):
+    """Compile + warm + time one configuration; returns scenes/s or raises."""
     from stillleben_tpu.parallel.batch import generate_batch
-    from stillleben_tpu.physics.types import default_config
-    from stillleben_tpu.render.frame import FrameConfig
 
-    tpl = build_template()
+    keys = jax.random.split(jax.random.PRNGKey(42), batch)
 
-    has_tex = bool((np.asarray(tpl.render_atlas.mat_base_tex) >= 0).any())
-    # chunk sized so the rasterizer's per-chunk edge tensor stays ~1 GB
-    # across the vmapped batch: B x C x 3 x H x W x 4B
-    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
-    cfg = FrameConfig(
-        width=WIDTH, height=HEIGHT, shading="pbr", chunk=chunk,
-        ssao=(WORKLOAD == "textured"),  # reference default: SSAO on
-        max_lights=1,
-        shadow_size=int(os.environ.get("BENCH_SHADOW", "0")),
-        tile_capacity=int(os.environ.get("BENCH_TILE_CAP", "128")),
-        fine_chunk=int(os.environ.get("BENCH_FINE_CHUNK", "128")),
-        sample_textures=has_tex,
-        sample_stickers=False,
-    )
-    solver_cfg = default_config()
-
-    keys = jax.random.split(jax.random.PRNGKey(42), BATCH)
-    sub = int(os.environ.get("BENCH_RENDER_SUB", "8"))
-
-    # compile + warmup
-    out = generate_batch(keys, tpl, cfg, solver_cfg, render_sub_batch=sub)
-    jax.block_until_ready(out.rgb)
-
-    times = []
-    for r in range(REPEATS):
-        keys = jax.random.split(jax.random.PRNGKey(100 + r), BATCH)
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(WARM_BUDGET)
+    try:
         t0 = time.perf_counter()
         out = generate_batch(keys, tpl, cfg, solver_cfg, render_sub_batch=sub)
         jax.block_until_ready(out.rgb)
-        times.append(time.perf_counter() - t0)
+        warm = time.perf_counter() - t0
+        print(f"bench[{label}]: compile+warm {warm:.1f}s", file=sys.stderr, flush=True)
+    finally:
+        signal.alarm(0)
 
-    best = min(times)
-    scenes_per_sec = BATCH / best
+    times = []
+    for r in range(REPEATS):
+        keys = jax.random.split(jax.random.PRNGKey(100 + r), batch)
+        signal.alarm(WARM_BUDGET)
+        try:
+            t0 = time.perf_counter()
+            out = generate_batch(keys, tpl, cfg, solver_cfg, render_sub_batch=sub)
+            jax.block_until_ready(out.rgb)
+            times.append(time.perf_counter() - t0)
+        finally:
+            signal.alarm(0)
+        print(
+            f"bench[{label}]: repeat {r} {times[-1]:.2f}s "
+            f"({batch / times[-1]:.2f} scenes/s)",
+            file=sys.stderr,
+            flush=True,
+        )
+    return batch / min(times)
+
+
+def main():
+    from stillleben_tpu.physics.types import default_config
+    from stillleben_tpu.render.frame import FrameConfig
+
+    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
+    sub = int(os.environ.get("BENCH_RENDER_SUB", "4"))
+    solver_cfg = default_config()
+
+    def make_cfg(tpl, **over):
+        has_tex = bool((np.asarray(tpl.render_atlas.mat_base_tex) >= 0).any())
+        kw = dict(
+            width=WIDTH, height=HEIGHT, shading="pbr", chunk=chunk,
+            ssao=(WORKLOAD == "textured"),  # reference default: SSAO on
+            max_lights=1,
+            shadow_size=int(os.environ.get("BENCH_SHADOW", "0")),
+            shadow_mode=os.environ.get("BENCH_SHADOW_MODE", "vsm"),
+            tile_capacity=int(os.environ.get("BENCH_TILE_CAP", "128")),
+            fine_chunk=int(os.environ.get("BENCH_FINE_CHUNK", "128")),
+            sample_textures=has_tex,
+            sample_stickers=False,
+        )
+        kw.update(over)
+        return FrameConfig(**kw)
+
+    tpl = build_template(WORKLOAD)
+    # degradation ladder: each rung strips the component most likely to have
+    # broken (Pallas kernel -> shadow/SSAO -> textured workload itself), so a
+    # fault degrades the number instead of zeroing the round's data point
+    rungs = [
+        (WORKLOAD, "full", dict()),
+        (WORKLOAD, "no_pallas", dict(use_pallas=False)),
+        (WORKLOAD, "no_shadow_ssao", dict(shadow_mode="off", ssao=False)),
+        ("primitives", "primitives_no_shadow", dict(shadow_mode="off", ssao=False)),
+    ]
+
+    value = None
+    used = None
+    cur_workload = WORKLOAD
+    for workload, label, over in rungs:
+        if workload != cur_workload:
+            tpl = build_template(workload)
+            cur_workload = workload
+        try:
+            value = _attempt(label, tpl, make_cfg(tpl, **over), solver_cfg, BATCH, sub)
+            used = (workload, label)
+            break
+        except _Watchdog:
+            print(f"bench[{label}]: WATCHDOG after {WARM_BUDGET}s — degrading",
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001 — degrade on any device fault
+            print(f"bench[{label}]: FAILED {type(e).__name__}: {e} — degrading",
+                  file=sys.stderr, flush=True)
+
+    if value is None:
+        print(json.dumps({
+            "metric": "ycb_tabletop_scenes_per_sec_per_chip_640x480",
+            "value": 0.0, "unit": "scenes/s", "vs_baseline": 0.0,
+            "config": "all rungs failed",
+        }))
+        sys.exit(1)
+
+    workload, label = used
     print(
         json.dumps(
             {
                 "metric": "ycb_tabletop_scenes_per_sec_per_chip_640x480",
-                "value": round(scenes_per_sec, 3),
+                "value": round(value, 3),
                 "unit": "scenes/s",
-                "vs_baseline": round(scenes_per_sec / TARGET_SCENES_PER_SEC, 4),
+                "vs_baseline": round(value / TARGET_SCENES_PER_SEC, 4),
+                "config": label,
+                "batch": BATCH,
                 "workload": (
                     "textured: 3x bunny(69k tris)+7 primitives, IBL light map, "
                     "SSAO, textured bg plane, full GT"
-                    if WORKLOAD == "textured"
+                    if workload == "textured"
                     else "primitives: 10 untextured cubes/spheres (upper bound)"
                 ),
             }

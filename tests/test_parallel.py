@@ -22,7 +22,7 @@ from stillleben_tpu.render.frame import FrameConfig
 
 @pytest.fixture(scope="module")
 def template():
-    scene = sl.Scene((48, 48))
+    scene = sl.Scene((24, 24))
     scene.seed(0)
     cube = sl.Mesh("primitive://cube")
     cube.scale_to_bbox_diagonal(0.2)
@@ -32,13 +32,20 @@ def template():
     return template_from_scene(scene)
 
 
-CFG = FrameConfig(width=48, height=48, shading="pbr", ssao=False, max_lights=1, chunk=64)
+# What this file tests is BATCHING AND SHARDING, not shading: the flat
+# tiny-viewport config keeps each test's (fresh, 1-core CI) XLA compile in
+# seconds — PBR-path correctness lives in test_render/test_batched_render.
+CFG = FrameConfig(
+    width=24, height=24, shading="flat", ssao=False, shadow_mode="off",
+    max_lights=1, chunk=32, tile_capacity=32, big_capacity=16, fine_chunk=32,
+    use_pallas=False, sample_textures=False, sample_stickers=False,
+)
 
 
 def test_generate_batch(template):
     keys = jax.random.split(jax.random.PRNGKey(0), 4)
     frames = generate_batch(keys, template, CFG, default_config(), 10)
-    assert frames.rgb.shape == (4, 48, 48, 4)
+    assert frames.rgb.shape == (4, 24, 24, 4)
     inst = np.asarray(frames.instance_index)
     # every scene shows at least one object
     for b in range(4):
@@ -55,12 +62,12 @@ def test_generate_batch_sharded_over_mesh(template):
         keys, template, CFG, default_config(), mesh=mesh, settle_iterations=5
     )
     jax.block_until_ready(frames.rgb)
-    assert frames.rgb.shape == (8, 48, 48, 4)
+    assert frames.rgb.shape == (8, 24, 24, 4)
     # outputs keep the scene-axis sharding (one scene per device)
     sharding = frames.rgb.sharding
     assert sharding.num_devices == 8 or not hasattr(sharding, "num_devices")
     shard_shapes = {s.data.shape for s in frames.rgb.addressable_shards}
-    assert shard_shapes == {(1, 48, 48, 4)}
+    assert shard_shapes == {(1, 24, 24, 4)}
 
 
 def test_settle_and_render_with_poses(template):
@@ -81,21 +88,24 @@ def test_pose_gradients_through_renderer():
     jax.grad provides natively is the INTERIOR appearance gradient, which
     this test checks against a finite-difference slope.
     """
-    scene = sl.Scene((48, 48))
+    scene = sl.Scene((32, 32))
     scene.seed(0)
     sph = sl.Mesh("primitive://sphere")
     sph.scale_to_bbox_diagonal(0.3)
     scene.add_object(sl.Object(sph))
     tpl = template_from_scene(scene)
 
+    # needs real shading (flat gives a constant interior -> zero gradient)
+    cfg = CFG._replace(width=32, height=32, shading="pbr")
+
     poses, cam, light = settle_scene(
         jax.random.PRNGKey(3), tpl, default_config(), settle_iterations=10
     )
-    target = render_with_poses(tpl, poses, cam, CFG, light).hdr
+    target = render_with_poses(tpl, poses, cam, cfg, light).hdr
 
     def loss(delta):
         perturbed = jax.vmap(apply_pose_delta_matrix)(poses, delta)
-        img = render_with_poses(tpl, perturbed, cam, CFG, light).hdr
+        img = render_with_poses(tpl, perturbed, cam, cfg, light).hdr
         # interior-only: mask out silhouette-adjacent pixels via target alpha
         w = target[..., 3:]
         return jnp.sum(w * (img[..., :3] - target[..., :3]) ** 2)
@@ -131,10 +141,10 @@ def test_hybrid_mesh_2d_sharding(template):
         keys, template, CFG, default_config(), mesh=mesh, settle_iterations=5
     )
     jax.block_until_ready(frames.rgb)
-    assert frames.rgb.shape == (16, 48, 48, 4)
+    assert frames.rgb.shape == (16, 24, 24, 4)
     # two scenes per device, sharded over the flattened 2-D mesh
     shard_shapes = {s.data.shape for s in frames.rgb.addressable_shards}
-    assert shard_shapes == {(2, 48, 48, 4)}
+    assert shard_shapes == {(2, 24, 24, 4)}
 
     # this (only) process owns the whole batch
     assert local_batch_slice(16, mesh) == slice(0, 16)
@@ -142,3 +152,32 @@ def test_hybrid_mesh_2d_sharding(template):
     # explicit 2-D key placement helper
     k2 = shard_keys(keys, mesh)
     assert {s.data.shape[0] for s in k2.addressable_shards} == {2}
+
+
+def test_dryrun_train_step_budget():
+    """The EXACT train step the driver's dryrun_multichip gate runs, under a
+    wall-clock budget, so the gate can't silently rot (it was red in rounds
+    1 and 2 — env breakage once, compile blow-up once). Budget covers
+    compile + one step on the 8-device CPU mesh."""
+    import time
+
+    import __graft_entry__ as g
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    t0 = time.time()
+    train_step, tpl, nb = g.make_train_step()
+    mesh = Mesh(np.array(jax.devices()), ("scenes",))
+    sharding = NamedSharding(mesh, P("scenes"))
+    keys = jax.device_put(jax.random.split(jax.random.PRNGKey(0), 8), sharding)
+    delta = jax.device_put(jnp.full((8, nb, 6), 0.02, jnp.float32), sharding)
+    step = jax.jit(
+        train_step,
+        in_shardings=(sharding, sharding),
+        out_shardings=(NamedSharding(mesh, P()), sharding),
+    )
+    loss, new_delta = step(keys, delta)
+    jax.block_until_ready(new_delta)
+    elapsed = time.time() - t0
+    assert np.isfinite(float(loss))
+    assert {s.data.shape[0] for s in new_delta.addressable_shards} == {1}
+    assert elapsed < 120, f"dryrun train step took {elapsed:.0f}s (budget 120s)"
