@@ -28,17 +28,18 @@ BASELINE.json (the reference repo publishes no numbers of its own).
 import json
 import os
 import signal
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 import jax
 import numpy as np
 
 jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache")
 )
 
 TARGET_SCENES_PER_SEC = 500.0  # BASELINE.json north-star target
@@ -172,68 +173,57 @@ def _attempt(label, tpl, cfg, solver_cfg, batch, sub):
     return batch / min(times)
 
 
-def main():
+# degradation ladder: each rung strips the component most likely to have
+# broken (Pallas kernel -> shadow/SSAO -> textured workload itself), so a
+# fault degrades the number instead of zeroing the round's data point.
+# Rungs run in SEPARATE subprocesses: a hard device fault poisons the whole
+# PJRT client (observed: even jnp.asarray raises afterwards), so in-process
+# degradation cannot work.
+RUNGS = [
+    (WORKLOAD, "full", dict()),
+    # XLA-fallback fine stage materializes (C*5, PIX) edge tensors per
+    # tile: at 2048^2 shadows that is a ~10 GB/scene transient (observed
+    # 20 GB OOM) — this rung caps the shadow map at 512^2
+    (WORKLOAD, "no_pallas", dict(use_pallas=False, shadow_size=512)),
+    (WORKLOAD, "no_shadow_ssao", dict(shadow_mode="off", ssao=False)),
+    ("primitives", "primitives_no_shadow", dict(shadow_mode="off", ssao=False)),
+]
+
+
+def run_rung(idx: int) -> None:
+    """Child process: run ONE ladder rung on the device and print the JSON
+    line on success. Watchdogs are in-process SIGALRM so the process always
+    EXITS CLEANLY — an external SIGKILL leaves a dangling relay session that
+    wedges the next TPU attach for many minutes."""
     from stillleben_tpu.physics.types import default_config
     from stillleben_tpu.render.frame import FrameConfig
 
+    workload, label, over = RUNGS[idx]
     chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     sub = int(os.environ.get("BENCH_RENDER_SUB", "4"))
-    solver_cfg = default_config()
 
-    def make_cfg(tpl, **over):
-        has_tex = bool((np.asarray(tpl.render_atlas.mat_base_tex) >= 0).any())
-        kw = dict(
-            width=WIDTH, height=HEIGHT, shading="pbr", chunk=chunk,
-            ssao=(WORKLOAD == "textured"),  # reference default: SSAO on
-            max_lights=1,
-            shadow_size=int(os.environ.get("BENCH_SHADOW", "0")),
-            shadow_mode=os.environ.get("BENCH_SHADOW_MODE", "vsm"),
-            tile_capacity=int(os.environ.get("BENCH_TILE_CAP", "128")),
-            fine_chunk=int(os.environ.get("BENCH_FINE_CHUNK", "128")),
-            sample_textures=has_tex,
-            sample_stickers=False,
-        )
-        kw.update(over)
-        return FrameConfig(**kw)
+    tpl = build_template(workload)
+    has_tex = bool((np.asarray(tpl.render_atlas.mat_base_tex) >= 0).any())
+    kw = dict(
+        width=WIDTH, height=HEIGHT, shading="pbr", chunk=chunk,
+        ssao=(workload == "textured"),  # reference default: SSAO on
+        max_lights=1,
+        shadow_size=int(os.environ.get("BENCH_SHADOW", "0")),
+        shadow_mode=os.environ.get("BENCH_SHADOW_MODE", "vsm"),
+        tile_capacity=int(os.environ.get("BENCH_TILE_CAP", "128")),
+        fine_chunk=int(os.environ.get("BENCH_FINE_CHUNK", "128")),
+        sample_textures=has_tex,
+        sample_stickers=False,
+    )
+    kw.update(over)
+    cfg = FrameConfig(**kw)
 
-    tpl = build_template(WORKLOAD)
-    # degradation ladder: each rung strips the component most likely to have
-    # broken (Pallas kernel -> shadow/SSAO -> textured workload itself), so a
-    # fault degrades the number instead of zeroing the round's data point
-    rungs = [
-        (WORKLOAD, "full", dict()),
-        (WORKLOAD, "no_pallas", dict(use_pallas=False)),
-        (WORKLOAD, "no_shadow_ssao", dict(shadow_mode="off", ssao=False)),
-        ("primitives", "primitives_no_shadow", dict(shadow_mode="off", ssao=False)),
-    ]
-
-    value = None
-    used = None
-    cur_workload = WORKLOAD
-    for workload, label, over in rungs:
-        if workload != cur_workload:
-            tpl = build_template(workload)
-            cur_workload = workload
-        try:
-            value = _attempt(label, tpl, make_cfg(tpl, **over), solver_cfg, BATCH, sub)
-            used = (workload, label)
-            break
-        except _Watchdog:
-            print(f"bench[{label}]: WATCHDOG after {WARM_BUDGET}s — degrading",
-                  file=sys.stderr, flush=True)
-        except Exception as e:  # noqa: BLE001 — degrade on any device fault
-            print(f"bench[{label}]: FAILED {type(e).__name__}: {e} — degrading",
-                  file=sys.stderr, flush=True)
-
-    if value is None:
-        print(json.dumps({
-            "metric": "ycb_tabletop_scenes_per_sec_per_chip_640x480",
-            "value": 0.0, "unit": "scenes/s", "vs_baseline": 0.0,
-            "config": "all rungs failed",
-        }))
-        sys.exit(1)
-
-    workload, label = used
+    try:
+        value = _attempt(label, tpl, cfg, default_config(), BATCH, sub)
+    except _Watchdog:
+        print(f"bench[{label}]: WATCHDOG after {WARM_BUDGET}s", file=sys.stderr,
+              flush=True)
+        sys.exit(3)
     print(
         json.dumps(
             {
@@ -250,9 +240,62 @@ def main():
                     else "primitives: 10 untextured cubes/spheres (upper bound)"
                 ),
             }
-        )
+        ),
+        flush=True,
     )
 
 
+_PARENT_MARKER = "_SL_BENCH_PARENT"
+
+
+def main():
+    """Orchestrator: CPU-only (re-execs itself with the axon site stripped so
+    it never holds the relay tunnel its children need), runs each ladder rung
+    in a fresh subprocess until one prints a JSON result."""
+    if os.environ.get(_PARENT_MARKER) != "1":
+        env = dict(os.environ)
+        env[_PARENT_MARKER] = "1"
+        env["_SL_BENCH_CHILD_PYTHONPATH"] = env.get("PYTHONPATH", "")
+        env["PYTHONPATH"] = _REPO
+        env["JAX_PLATFORMS"] = "cpu"
+        os.execve(sys.executable, [sys.executable, "-u", os.path.abspath(__file__)], env)
+
+    child_env = dict(os.environ)
+    child_env["PYTHONPATH"] = os.environ.get("_SL_BENCH_CHILD_PYTHONPATH", "")
+    child_env.pop("JAX_PLATFORMS", None)
+    child_env.pop(_PARENT_MARKER, None)
+
+    budget = WARM_BUDGET * (1 + REPEATS) + 300  # backstop only; the child's
+    # own SIGALRM should always fire first (clean exit keeps the relay sane)
+    for idx, (workload, label, _) in enumerate(RUNGS):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__), "--rung", str(idx)],
+                capture_output=True, text=True, timeout=budget,
+                cwd=_REPO, env=child_env,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"bench[{label}]: parent backstop timeout — degrading",
+                  file=sys.stderr, flush=True)
+            continue
+        sys.stderr.write(proc.stderr[-4000:])
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode == 0 and lines:
+            print(lines[-1], flush=True)
+            return
+        print(f"bench[{label}]: rc={proc.returncode} — degrading",
+              file=sys.stderr, flush=True)
+
+    print(json.dumps({
+        "metric": "ycb_tabletop_scenes_per_sec_per_chip_640x480",
+        "value": 0.0, "unit": "scenes/s", "vs_baseline": 0.0,
+        "config": "all rungs failed",
+    }))
+    sys.exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    if "--rung" in sys.argv:
+        run_rung(int(sys.argv[sys.argv.index("--rung") + 1]))
+    else:
+        main()

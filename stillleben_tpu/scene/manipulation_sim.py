@@ -5,9 +5,12 @@ the manipulator object with translation free / rotation locked and a spring
 drive (stiffness 600 N/m, damping 0.1, force limit 60 N); ``step(goal, dt)``
 sets the drive target and steps the scene.
 
-Here the joint is emulated directly: each step applies the clamped spring
-force to the manipulator's linear velocity, locks its orientation, and steps
-the scene's physics.
+The joint is a SOLVER-level constraint here, not a kinematic overwrite: the
+rotation lock zeroes the manipulator's inverse inertia (an infinitely stiff
+angular constraint — contact impulses cannot rotate the manipulator, while
+reaction forces/torques still propagate exactly to the bodies it pushes,
+matching the D6 joint's momentum bookkeeping), and the spring drive is a
+clamped external force applied before the contact solve.
 """
 
 from __future__ import annotations
@@ -25,14 +28,18 @@ class ManipulationSim:
         self._obj = manipulator
         if initial_pose is not None:
             manipulator.set_pose(np.asarray(initial_pose, np.float32))
-        self._locked_rotation = manipulator.pose()[:3, :3].copy()
+        # rotation-locked D6 joint: angular DOFs are rigid at the solver
+        # level (Object.lock_rotation zeroes the body's inverse inertia)
+        manipulator.lock_rotation = True
+        scene._invalidate()
 
     def step(self, goal_pose, dt: float) -> None:
         goal_pose = np.asarray(goal_pose, np.float32).reshape(4, 4)
         pose = self._obj.pose()
         mass = max(self._obj.mass, 1e-6)
 
-        # spring drive toward the goal position
+        # spring drive toward the goal position (clamped to the force limit,
+        # reference PxD6JointDrive(600, 0.1, 60))
         err = goal_pose[:3, 3] - pose[:3, 3]
         vel = self._obj.linear_velocity
         force = STIFFNESS * err - DAMPING * vel
@@ -41,10 +48,5 @@ class ManipulationSim:
             force *= FORCE_LIMIT / norm
         self._obj.linear_velocity = vel + force / mass * dt
 
+        # the contact solve handles the rotation lock; no pose overwrite
         self._scene.simulate(dt)
-
-        # rotation locked (the D6 joint's angular DOFs are locked)
-        locked = self._obj.pose()
-        locked[:3, :3] = self._locked_rotation
-        self._obj._set_pose_unchecked(locked)
-        self._obj.angular_velocity = np.zeros(3, np.float32)

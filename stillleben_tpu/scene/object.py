@@ -41,6 +41,7 @@ class Object:
         self._linear_velocity = np.zeros(3, np.float32)
         self._angular_velocity = np.zeros(3, np.float32)
         self._linear_velocity_limit = float("inf")
+        self._lock_rotation = False  # solver-level angular lock (D6 joint)
         # render properties (reference defaults, include/stillleben/object.h)
         self._specular_color = np.ones(4, np.float32)
         self._shininess = 80.0
@@ -101,6 +102,19 @@ class Object:
 
     def is_static(self) -> bool:
         return self._static
+
+    @property
+    def lock_rotation(self) -> bool:
+        """Angular DOFs locked at the solver level: the body's inverse
+        inertia is zeroed, so contact impulses cannot rotate it but reaction
+        torques still propagate exactly to whatever it touches — the role of
+        the reference's rotation-locked PxD6Joint to a world anchor
+        (src/manipulation_sim.cpp:46-55)."""
+        return self._lock_rotation
+
+    @lock_rotation.setter
+    def lock_rotation(self, v: bool) -> None:
+        self._lock_rotation = bool(v)
 
     @property
     def density(self) -> float:

@@ -286,7 +286,7 @@ class Scene:
         return tuple(
             (id(o), o.mesh._dirty, o.static, o.density, o._mass_override,
              o.static_friction, o.dynamic_friction, o.restitution,
-             o.linear_velocity_limit)
+             o.linear_velocity_limit, o.lock_rotation)
             for o in self._objects
         )
 
@@ -324,6 +324,9 @@ class Scene:
                 inv_inertia[i] = np.linalg.inv(
                     inertia + 1e-12 * np.eye(3)
                 ).astype(np.float32)
+            if o.lock_rotation:
+                # solver-level D6 rotation lock (see Object.lock_rotation)
+                inv_inertia[i] = 0.0
             com[i] = c
             # per-body material; contacts combine by PhysX's default
             # AVERAGE rule, stick/slip selects static vs dynamic (solver)

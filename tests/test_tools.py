@@ -163,6 +163,43 @@ def test_manipulation_sim():
     np.testing.assert_allclose(obj.pose()[:3, :3], np.eye(3), atol=1e-5)
 
 
+def test_manipulation_torque_transfer():
+    """Pushing a free cube off-center must SPIN the pushed cube (reaction
+    torques propagate through the solver-level joint), while the rotation
+    lock keeps the manipulator itself unrotated through the contact — the
+    reference D6 joint behavior (src/manipulation_sim.cpp:46-55)."""
+    mesh = sl.Mesh("primitive://cube")
+    mesh.scale_to_bbox_diagonal(0.2)
+    scene = sl.Scene((32, 32))
+    scene.gravity = [0.0, 0.0, 0.0]
+
+    pusher = sl.Object(mesh)
+    scene.add_object(pusher)
+    target = sl.Object(mesh)
+    tpose = np.eye(4, dtype=np.float32)
+    # offset in +x, shifted in y so the push line misses the target's COM
+    tpose[:3, 3] = [0.18, 0.07, 0.0]
+    target.set_pose(tpose)
+    scene.add_object(target)
+
+    sim = sl.ManipulationSim(scene, pusher, np.eye(4, dtype=np.float32))
+    goal = np.eye(4, dtype=np.float32)
+    goal[:3, 3] = [0.35, 0.0, 0.0]
+    for _ in range(120):
+        sim.step(goal, 0.01)
+
+    # the target was hit off-center: it must translate AND rotate
+    assert target.pose()[0, 3] > 0.20, f"target not pushed: {target.pose()[:3, 3]}"
+    spin = float(np.abs(np.asarray(target.angular_velocity)).max())
+    Rt = target.pose()[:3, :3]
+    rot_angle = float(np.arccos(np.clip((np.trace(Rt) - 1) / 2, -1, 1)))
+    assert spin > 1e-3 or rot_angle > 5e-3, (
+        f"no angular momentum transferred (spin={spin}, angle={rot_angle})"
+    )
+    # the manipulator's rotation lock held through the contact
+    np.testing.assert_allclose(pusher.pose()[:3, :3], np.eye(3), atol=1e-5)
+
+
 def test_viewer_dashboard(cube_glb):
     mesh = sl.Mesh(cube_glb, physics=False)
     scene = sl.Scene((64, 64))

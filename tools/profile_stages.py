@@ -1,46 +1,40 @@
 #!/usr/bin/env python
-"""In-pipeline stage ablation profiler (run on the real TPU).
+"""In-pipeline stage ablation profiler (run on the real TPU, SOLO — a second
+python process contends for the relay tunnel and corrupts every number).
 
 Times the bench workload end-to-end and with stages toggled, reporting
-amortized ms/scene per stage. Ablation (not xprof) because the device
-profiler is unavailable through the relay.
+amortized ms/scene per stage plus COMPILE seconds per variant (compile cost
+is a first-class budget on the relay: the driver's bench has a finite wall
+clock). Ablation (not xprof) because the device profiler is unavailable
+through the relay.
+
+PROF_WORKLOAD=textured (default: the honest bench workload — 3 bunnies,
+IBL, SSAO, textured plane) | primitives.
 """
 
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+
 WIDTH, HEIGHT = 640, 480
-BATCH = int(os.environ.get("PROF_BATCH", "32"))
-SUB = int(os.environ.get("PROF_SUB", "8"))
+BATCH = int(os.environ.get("PROF_BATCH", "8"))
+SUB = int(os.environ.get("PROF_SUB", "4"))
+WORKLOAD = os.environ.get("PROF_WORKLOAD", "textured")
 
 
-def build():
-    import stillleben_tpu as sl
-    from stillleben_tpu.parallel.batch import template_from_scene
-
-    sl.init()
-    scene = sl.Scene((WIDTH, HEIGHT))
-    scene.seed(0)
-    cube = sl.Mesh("primitive://cube")
-    cube.scale_to_bbox_diagonal(0.2)
-    sphere = sl.Mesh("primitive://sphere")
-    sphere.scale_to_bbox_diagonal(0.15)
-    for i in range(10):
-        m = [cube, sphere][i % 2]
-        m.class_index = (i % 2) + 1
-        scene.add_object(sl.Object(m))
-    return template_from_scene(scene)
-
-
-def timeit(label, fn, *args, n=3):
+def timeit(label, fn, *args, n=2):
+    t0 = time.perf_counter()
     out = fn(*args)
     jax.block_until_ready(out)
+    warm = time.perf_counter() - t0
     best = 1e9
     for _ in range(n):
         t0 = time.perf_counter()
@@ -48,26 +42,32 @@ def timeit(label, fn, *args, n=3):
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
     ms_scene = best / BATCH * 1000
-    print(f"{label:42s} {best*1000:9.1f} ms total  {ms_scene:8.2f} ms/scene")
+    print(
+        f"{label:44s} {best * 1000:9.1f} ms total  {ms_scene:8.2f} ms/scene"
+        f"   (compile+warm {warm:.1f}s)",
+        flush=True,
+    )
     return best
 
 
 def main():
-    from functools import partial
-
-    from stillleben_tpu.parallel.batch import (
-        render_with_poses,
-        settle_scene,
-    )
+    import bench as benchmod
+    from stillleben_tpu.parallel.batch import render_with_poses, settle_scene
     from stillleben_tpu.physics.types import default_config
     from stillleben_tpu.render.frame import FrameConfig
 
-    tpl = build()
+    tpl = benchmod.build_template(WORKLOAD)
     solver_cfg = default_config()
+
+    import numpy as np
+
+    has_tex = bool((np.asarray(tpl.render_atlas.mat_base_tex) >= 0).any())
     base = dict(
-        width=WIDTH, height=HEIGHT, ssao=False, chunk=64, max_lights=1,
-        shadow_size=256, tile_capacity=128, fine_chunk=32,
-        sample_textures=False, sample_stickers=False,
+        width=WIDTH, height=HEIGHT, shading="pbr", chunk=64,
+        ssao=(WORKLOAD == "textured"), max_lights=1,
+        shadow_size=0, shadow_mode="vsm",
+        tile_capacity=128, fine_chunk=128,
+        sample_textures=has_tex, sample_stickers=False,
     )
 
     keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
@@ -99,11 +99,18 @@ def main():
 
         return rfn
 
+    def cfgv(**over):
+        kw = dict(base)
+        kw.update(over)
+        return FrameConfig(**kw)
+
     variants = [
-        ("render pbr (bench config)", FrameConfig(shading="pbr", **base)),
-        ("render pbr shadow_size=16", FrameConfig(shading="pbr", **{**base, "shadow_size": 16})),
-        ("render flat (raster+minimal shade)", FrameConfig(shading="flat", **base)),
-        ("render pbr textures on", FrameConfig(shading="pbr", **{**base, "sample_textures": True})),
+        ("render FULL (bench config)", cfgv()),
+        ("render shadow off", cfgv(shadow_mode="off")),
+        ("render shadow 512", cfgv(shadow_size=512)),
+        ("render ssao off", cfgv(ssao=False)),
+        ("render textures off", cfgv(sample_textures=False)),
+        ("render flat (raster+minimal shade)", cfgv(shading="flat", shadow_mode="off", ssao=False)),
     ]
     for label, cfg in variants:
         timeit(label, make_render(cfg), poses, cams, lights)
