@@ -506,3 +506,74 @@ def test_ssao_darkens_object_only(cube_glb):
     assert ((rgb_off - rgb_on)[obj][:, :3] >= -1).all()
     assert ((rgb_off - rgb_on)[obj][:, :3] > 2).any(), "SSAO had no effect"
     np.testing.assert_array_equal(rgb_off[~obj], rgb_on[~obj])
+
+
+def test_silhouette_matches_analytic_projection(bunny_gltf):
+    """Analytic parity fixture (independent of the renderer): project every
+    bunny vertex with a pure-numpy pinhole model (u = fx x/z + cx,
+    v = fy y/z + cy — the documented reference convention,
+    src/scene.cpp:222-253), build the 2D convex hull of the projected cloud,
+    and check the rendered instance mask (a) stays inside that hull and
+    (b) fills the fraction of it a bunny silhouette should. Catches
+    projection/raster drift that self-generated goldens cannot."""
+    mesh = sl.Mesh(bunny_gltf, physics=False)
+    mesh.center_bbox()
+    mesh.scale_to_bbox_diagonal(0.5)
+    W, H = 200, 150
+    scene = sl.Scene((W, H))
+    obj = sl.Object(mesh)
+    scene.add_object(obj)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = [0.05, -0.03, 1.4]
+    obj.set_pose(T)
+    scene.light_directions = np.array([[-0.5, -0.3, -0.8]], np.float32)
+
+    inst = np.asarray(sl.RenderPass(ssao=False).render(scene).instance_index())
+    mask = inst == 1
+    assert mask.sum() > 300
+
+    # independent numpy projection of all mesh vertices
+    P = scene.projection_matrix()
+    fx, fy = P[0, 0] * W / 2.0, P[1, 1] * H / 2.0
+    cx, cy = (P[0, 2] + 1.0) * W / 2.0, (P[1, 2] + 1.0) * H / 2.0
+    cam_from_world = np.linalg.inv(scene.camera_pose())
+    pre = mesh.pretransform  # points() is raw; rendering applies pretransform
+    pts = mesh.points() @ pre[:3, :3].T + pre[:3, 3]
+    pts = pts @ T[:3, :3].T + T[:3, 3]
+    pc = pts @ cam_from_world[:3, :3].T + cam_from_world[:3, 3]
+    u = fx * pc[:, 0] / pc[:, 2] + cx
+    v = fy * pc[:, 1] / pc[:, 2] + cy
+
+    # Andrew monotone-chain convex hull of the projected points
+    pts2 = np.unique(np.stack([u, v], -1).round(3), axis=0)
+    pts2 = pts2[np.lexsort((pts2[:, 1], pts2[:, 0]))]
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    hull = np.asarray(half(pts2)[:-1] + half(pts2[::-1])[:-1])
+
+    # rasterize the hull analytically: pixel centers inside every edge
+    # (edge sign normalized against the hull centroid so orientation of the
+    # chain does not matter)
+    yy, xx = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5, indexing="ij")
+    cx2, cy2 = hull.mean(axis=0)
+    inside = np.ones((H, W), bool)
+    for i in range(len(hull)):
+        a, b = hull[i], hull[(i + 1) % len(hull)]
+        e = (b[0] - a[0]) * (yy - a[1]) - (b[1] - a[1]) * (xx - a[0])
+        ec = (b[0] - a[0]) * (cy2 - a[1]) - (b[1] - a[1]) * (cx2 - a[0])
+        inside &= (e * np.sign(ec)) >= -1.0
+    assert inside.sum() > mask.sum()
+
+    # (a) containment: silhouette escapes the hull only on edge antialiasing
+    escaped = (mask & ~inside).sum() / mask.sum()
+    assert escaped < 0.01, f"{escaped:.1%} of silhouette outside analytic hull"
+    # (b) coverage: the bunny fills a stable fraction of its convex hull
+    coverage = mask.sum() / inside.sum()
+    assert 0.55 < coverage < 0.95, f"hull coverage {coverage:.2f} out of envelope"
