@@ -21,6 +21,63 @@ from .atlas import RenderInputs, SceneAtlas
 SHADOW_BIAS = 3e-5  # reference render_shader.frag:335
 
 
+def _splat_tiny_depth(
+    p: jax.Array,  # (F, 3, 3) homogeneous (x, y, 1) shadow-pixel verts
+    zf: jax.Array,  # (F, 3) light-space depth per vertex
+    tiny: jax.Array,  # (F,) bool: tris whose bbox fits a 2x2 pixel window
+    size: int,
+) -> jax.Array:
+    """Exact z-buffer of sub-2px triangles as ONE scatter-min -> (S, S).
+
+    Dense scanned meshes project to ~1-2 px triangles even in a 2048^2
+    shadow map; routing them through per-tile lists overflows any static
+    capacity, and the sort+searchsorted exact stage costs ~630 ms at 4.2M
+    pixels on v5e (searchsorted = 20 serial gather rounds). A depth-only
+    pass needs no triangle ids, so the winner-per-pixel reduction IS a
+    scatter-min (~34 ms measured) over the <= 4 candidate pixels per
+    triangle — identical coverage/depth semantics, no sort, no search."""
+    from .rasterize_tiled import _edge_lines
+
+    F = p.shape[0]
+    n_px = size * size
+    x0 = jnp.floor(p[..., 0].min(-1)).astype(jnp.int32)
+    y0 = jnp.floor(p[..., 1].min(-1)).astype(jnp.int32)
+
+    Lf = _edge_lines(p)  # (F, 3edges, 3coefs)
+    win = jnp.arange(4, dtype=jnp.int32)
+    px = x0[:, None] + (win % 2)[None, :]
+    py = y0[:, None] + (win // 2)[None, :]
+    cx = px.astype(jnp.float32) + 0.5
+    cy = py.astype(jnp.float32) + 0.5
+    E = (
+        Lf[:, None, :, 0] * cx[:, :, None]
+        + Lf[:, None, :, 1] * cy[:, :, None]
+        + Lf[:, None, :, 2]
+    )  # (F, 4, 3)
+    inside = jnp.all(E >= 0, axis=-1) | jnp.all(E <= 0, axis=-1)
+    Esum = E.sum(-1)
+    denom = jnp.where(jnp.abs(Esum) < 1e-20, 1.0, Esum)
+    wp = (E * zf[:, None, :]).sum(-1) / denom  # (F, 4)
+
+    covers = (
+        tiny[:, None]
+        & inside
+        & (jnp.abs(Esum) > 1e-20)
+        & (wp > 0.0)
+        & (wp <= 1.0)
+        & (px >= 0)
+        & (px < size)
+        & (py >= 0)
+        & (py < size)
+    )
+    pid = jnp.where(covers, py * size + px, n_px)  # OOB id -> dropped
+    img = jnp.full((n_px,), 1.0, jnp.float32)
+    img = img.at[pid.reshape(-1)].min(
+        jnp.where(covers, wp, 1.0).reshape(-1), mode="drop"
+    )
+    return img.reshape(size, size)
+
+
 def _ortho_rasterize_depth(
     xy: jax.Array,  # (V, 2) shadow-map pixel coords
     z: jax.Array,  # (V,) normalized depth in [0, 1]
@@ -31,29 +88,46 @@ def _ortho_rasterize_depth(
 ) -> jax.Array:
     """Depth-only ortho rasterization -> (size, size) min-depth map (1 = far).
 
-    Reuses the binned rasterizer core with homogeneous w == 1 (ortho) and the
-    light-space depth as the interpolated attribute."""
+    Two classes, split by projected size: sub-2px triangles are splatted
+    exactly via scatter-min (_splat_tiny_depth); everything larger goes
+    through the binned tile rasterizer with homogeneous w == 1 (ortho) and
+    the light-space depth as the interpolated attribute. The camera raster's
+    sort-based exact pixel stage is never used here — depth-only output
+    needs no triangle ids, and its searchsorted cost scales with map AREA
+    (16x the camera viewport at 2048^2)."""
     from .rasterize_tiled import rasterize_vertices
 
     p = jnp.concatenate([xy, jnp.ones_like(xy[:, :1])], -1)[faces]  # (F,3,3)
     zf = z[faces]  # (F, 3)
+
+    xmin = p[..., 0].min(-1)
+    xmax = p[..., 0].max(-1)
+    ymin = p[..., 1].min(-1)
+    ymax = p[..., 1].max(-1)
+    on_map = (xmax >= 0) & (xmin < size) & (ymax >= 0) & (ymin < size)
+    tiny = (
+        tri_on
+        & on_map
+        & (jnp.ceil(xmax) - jnp.floor(xmin) <= 2)
+        & (jnp.ceil(ymax) - jnp.floor(ymin) <= 2)
+    )
+
     # High-res maps use BIGGER bins: at 2048^2 with 16 px tiles, ordinary
     # object faces (~200 px) overflow the global big-triangle list and the
     # fine grid balloons to 16k cells. 64 px tiles keep the same content in
-    # per-tile lists (span class covers <= 256 px) over ~1k cells; sub-4px
-    # triangles (dense scanned meshes) still take the exact per-pixel stage.
+    # per-tile lists (span class covers <= 256 px) over ~1k cells; with the
+    # tiny class routed to the splat, the lists only hold sparse >2px tris.
     tile = 64 if size >= 1024 else 16
     depth_img, _ = rasterize_vertices(
-        p, zf, tri_on, size, size,
+        p, zf, tri_on & ~tiny, size, size,
         near=-1e-3, far=1.0,
         tile_capacity=256, big_capacity=16, fine_chunk=128,
         min_depth=None,
         use_pallas=use_pallas,
         tile=tile,
-        # worth its cost only for dense meshes (same heuristic as the
-        # camera raster, rasterize_tiled.rasterize_tiled)
-        pixel_stage=faces.shape[0] > 20_000,
+        pixel_stage=False,
     )
+    depth_img = jnp.minimum(depth_img, _splat_tiny_depth(p, zf, tiny, size))
     return jnp.minimum(depth_img, 1.0)
 
 
