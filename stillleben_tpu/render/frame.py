@@ -24,6 +24,9 @@ class FrameConfig(NamedTuple):
     height: int
     shading: str = "pbr"  # "pbr" | "phong" (same shader in reference) | "flat"
     ssao: bool = True
+    ssao_mode: str = "fast"  # "fast" (static ring taps via roll — no
+    # data-dependent gathers) | "reference" (exact 64-sample hemisphere,
+    # ssao_shader.frag:13-57 semantics; ~20x slower on TPU)
     near: float = 0.1
     far: float = 10.0
     chunk: int = 256  # brute-force path triangle chunk
@@ -146,7 +149,8 @@ def render_frame_core(
         from .ssao import ssao_apply
 
         hdr_obj = ssao_apply(
-            hdr_obj, out.cam_coordinates, out.normals, out.valid, inputs.projection
+            hdr_obj, out.cam_coordinates, out.normals, out.valid,
+            inputs.projection, mode=getattr(cfg, "ssao_mode", "fast"),
         )
 
     # background: image > skybox > background color (alpha 0; the reference

@@ -77,13 +77,14 @@ class RenderPassResult:
 
 class RenderPass:
     def __init__(self, shading: str = "pbr", ssao: bool = True,
-                 shadow_mode: str = "vsm"):
+                 shadow_mode: str = "vsm", ssao_mode: str = "fast"):
         if shading not in ("pbr", "phong", "flat"):
             raise ValueError(f"unknown shading type {shading!r}")
         if shadow_mode not in ("vsm", "pcf"):
             raise ValueError(f"unknown shadow mode {shadow_mode!r}")
         self._shading = "flat" if shading == "flat" else "pbr"
         self.ssao_enabled = ssao
+        self.ssao_mode = ssao_mode
         self.shadow_mode = shadow_mode
         # atlas cache keyed on the scene's object-set stamp
         self._atlas = None
@@ -181,6 +182,7 @@ class RenderPass:
             height=H,
             shading=self._shading,
             ssao=self.ssao_enabled,
+            ssao_mode=self.ssao_mode,
             tile_capacity=tile_capacity,
             sample_textures=has_tex,
             sample_stickers=has_sticker,

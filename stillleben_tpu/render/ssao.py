@@ -103,6 +103,68 @@ def compute_ssao(
     return jnp.where(valid, ao, 1.0)
 
 
+N_DIRS = 8
+RING_RADII = (2, 4, 8, 16, 28)  # px; reference world radius 0.1 m spans
+# ~40 px at typical bench depths (fx ~ 600, z ~ 1.5)
+
+
+def compute_ssao_fast(
+    cam_coords: jax.Array,
+    normals_cam: jax.Array,
+    valid: jax.Array,
+    projection: jax.Array,
+    width: int,
+    height: int,
+) -> jax.Array:
+    """Static-tap screen-space AO: 40 ring taps read via jnp.roll.
+
+    The reference SSAO's 64 hemisphere samples need a data-dependent gather
+    per sample (19.6M gathers at 640x480 — ~200 ms/scene on v5e, gathers run
+    ~60-100M/s). Reformulated with STATIC screen offsets the taps become
+    jnp.roll reads (pure vectorized shifts) plus a tangent-plane horizon
+    test: a tap occludes when its depth is in front of the center's tangent
+    plane (normal-corrected — flat surfaces self-occlude nowhere), range-
+    checked like the reference (ssao_shader.frag:44-52). The hemisphere
+    radius becomes depth-dependent instead of fixed-world — a documented
+    deviation; `ssao_mode="reference"` keeps the exact sampler."""
+    H, W = valid.shape
+    d = jnp.where(valid, cam_coords[..., 2], jnp.inf)
+    N = jnp.moveaxis(normals_cam[..., :3], -1, 0)
+
+    fx = projection[0, 0] * W / 2
+    fy = projection[1, 1] * H / 2
+    # tangent-plane depth slopes per screen pixel step (clamped at grazing)
+    nz = jnp.where(jnp.abs(N[2]) < 0.1, jnp.sign(N[2]) * 0.1 + 1e-9, N[2])
+    dz_du = jnp.clip(-N[0] / nz * d / fx, -0.05, 0.05)
+    dz_dv = jnp.clip(-N[1] / nz * d / fy, -0.05, 0.05)
+
+    Xi = jnp.arange(W, dtype=jnp.int32)[None, :]
+    Yi = jnp.arange(H, dtype=jnp.int32)[:, None]
+
+    occ = jnp.zeros((H, W), jnp.float32)
+    wsum = 0.0
+    for k in range(N_DIRS):
+        ang = 2.0 * np.pi * (k + 0.5) / N_DIRS
+        ca, sa = np.cos(ang), np.sin(ang)
+        for r in RING_RADII:
+            dx = int(round(r * ca))
+            dy = int(round(r * sa))
+            if dx == 0 and dy == 0:
+                continue
+            ds = jnp.roll(d, (-dy, -dx), axis=(0, 1))
+            in_img = (
+                (Xi + dx >= 0) & (Xi + dx < W) & (Yi + dy >= 0) & (Yi + dy < H)
+            )
+            d_exp = d + dz_du * dx + dz_dv * dy
+            occluded = in_img & (d_exp - ds > BIAS) & jnp.isfinite(ds)
+            rng = jnp.clip(RADIUS / jnp.maximum(jnp.abs(d - ds), 1e-6), 0.0, 1.0)
+            w = 1.0 / (1.0 + 0.08 * r)  # center-biased like the reference kernel
+            occ = occ + occluded.astype(jnp.float32) * rng * w
+            wsum += w
+    ao = 1.0 - occ / wsum
+    return jnp.where(valid, ao, 1.0)
+
+
 def bilateral_blur(ao: jax.Array, depth: jax.Array, ksize: int = 2) -> jax.Array:
     """Depth-aware box blur (reference ssao_apply_shader.frag:35-81)."""
     H, W = ao.shape
@@ -118,11 +180,13 @@ def bilateral_blur(ao: jax.Array, depth: jax.Array, ksize: int = 2) -> jax.Array
     return acc / jnp.maximum(wacc, 1e-9)
 
 
-def ssao_apply(hdr, cam_coordinates, normals, valid, projection):
+def ssao_apply(hdr, cam_coordinates, normals, valid, projection, mode="fast"):
     """Compute AO from the G-buffer and multiply into RGB. Uses the
-    cam-space normal stored in the normals GT buffer."""
+    cam-space normal stored in the normals GT buffer. ``mode``: "fast"
+    (static ring taps, default) | "reference" (exact 64-sample hemisphere)."""
     H, W = valid.shape
-    ao = compute_ssao(cam_coordinates, normals, valid, projection, W, H)
+    fn = compute_ssao_fast if mode == "fast" else compute_ssao
+    ao = fn(cam_coordinates, normals, valid, projection, W, H)
     depth = cam_coordinates[..., 2]
     ao = bilateral_blur(ao, jnp.where(valid, depth, 0.0))
     rgb = hdr[..., :3] * ao[..., None]

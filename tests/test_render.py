@@ -577,3 +577,44 @@ def test_silhouette_matches_analytic_projection(bunny_gltf):
     # (b) coverage: the bunny fills a stable fraction of its convex hull
     coverage = mask.sum() / inside.sum()
     assert 0.55 < coverage < 0.95, f"hull coverage {coverage:.2f} out of envelope"
+
+
+def test_ssao_fast_agrees_with_reference_mode(cube_glb):
+    """The default static-ring-tap AO must darken the same concave region
+    the reference 64-sample hemisphere sampler does (same scene as
+    test_ssao_darkens_object_only)."""
+    mesh = sl.Mesh(cube_glb, physics=False)
+    mesh.scale_to_bbox_diagonal(1.6)
+    scene = sl.Scene((128, 96))
+    a = sl.Object(mesh)
+    scene.add_object(a)
+    b = sl.Object(mesh)
+    Tb = np.eye(4, dtype=np.float32)
+    Tb[:3, 3] = [0.0, 1.8, 0.6]
+    b.set_pose(Tb)
+    scene.add_object(b)
+    scene.set_camera_look_at([4.5, 1.0, 1.5], [0.0, 0.9, 0.3])
+    scene.light_directions = np.array([[-0.5, -0.3, -0.8]], np.float32)
+    scene.light_colors = np.array([[3.0, 3.0, 3.0]], np.float32)
+    scene.manual_exposure = 1.0
+
+    base = sl.RenderPass(ssao=False).render(scene)
+    fast = sl.RenderPass(ssao=True, ssao_mode="fast").render(scene)
+    ref = sl.RenderPass(ssao=True, ssao_mode="reference").render(scene)
+    rgb0 = np.asarray(base.rgb()).astype(np.int16)[..., :3].mean(-1)
+    dark_f = rgb0 - np.asarray(fast.rgb()).astype(np.int16)[..., :3].mean(-1)
+    dark_r = rgb0 - np.asarray(ref.rgb()).astype(np.int16)[..., :3].mean(-1)
+    obj = np.asarray(base.instance_index()) > 0
+
+    assert (dark_f[obj] > 2).any(), "fast AO had no effect"
+    assert (dark_r[obj] > 2).any(), "reference AO had no effect"
+    # the two estimators must concentrate occlusion on overlapping pixels:
+    # of the strongest decile under each, a meaningful share is shared
+    tf = np.quantile(dark_f[obj], 0.9)
+    tr = np.quantile(dark_r[obj], 0.9)
+    sf = (dark_f > max(tf, 2)) & obj
+    sr = (dark_r > max(tr, 2)) & obj
+    inter = (sf & sr).sum()
+    union = (sf | sr).sum()
+    assert union > 20
+    assert inter / union > 0.2, f"AO hotspots disjoint (IoU {inter / union:.2f})"
