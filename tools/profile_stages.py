@@ -105,14 +105,22 @@ def main():
         return FrameConfig(**kw)
 
     variants = [
-        ("render FULL (bench config)", cfgv()),
-        ("render shadow off", cfgv(shadow_mode="off")),
-        ("render shadow 512", cfgv(shadow_size=512)),
-        ("render ssao off", cfgv(ssao=False)),
-        ("render textures off", cfgv(sample_textures=False)),
-        ("render flat (raster+minimal shade)", cfgv(shading="flat", shadow_mode="off", ssao=False)),
+        ("full", "render FULL (bench config)", cfgv()),
+        ("noshadow", "render shadow off", cfgv(shadow_mode="off")),
+        ("shadow512", "render shadow 512", cfgv(shadow_size=512)),
+        ("nossao", "render ssao off", cfgv(ssao=False)),
+        ("refssao", "render reference-mode ssao", cfgv(ssao_mode="reference")),
+        ("notex", "render textures off", cfgv(sample_textures=False)),
+        ("flat", "render flat (raster+minimal shade)",
+         cfgv(shading="flat", shadow_mode="off", ssao=False)),
     ]
-    for label, cfg in variants:
+    # PROF_VARIANTS: comma-separated keys (default: all) — each variant is a
+    # fresh 5+ minute XLA compile on the relay, so select what you need
+    sel = os.environ.get("PROF_VARIANTS", "")
+    keys_sel = [k for k in sel.split(",") if k]
+    for key, label, cfg in variants:
+        if keys_sel and key not in keys_sel:
+            continue
         timeit(label, make_render(cfg), poses, cams, lights)
 
 
