@@ -48,7 +48,9 @@ N_OBJECTS = 10
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
 WORKLOAD = os.environ.get("BENCH_WORKLOAD", "textured")
-WARM_BUDGET = int(os.environ.get("BENCH_WARM_BUDGET", "420"))  # s per attempt
+WARM_BUDGET = int(os.environ.get("BENCH_WARM_BUDGET", "560"))  # s per attempt
+# (observed full-rung cold compile: ~430 s on the v5e relay — a 420 s budget
+# fired the watchdog inside the compile-cache write and lost the entry)
 BUNNY = "/root/reference/tests/stanford_bunny/scene.gltf"
 
 
@@ -268,15 +270,30 @@ def main():
     budget = WARM_BUDGET * (1 + REPEATS) + 300  # backstop only; the child's
     # own SIGALRM should always fire first (clean exit keeps the relay sane)
     for idx, (workload, label, _) in enumerate(RUNGS):
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-u", os.path.abspath(__file__), "--rung", str(idx)],
-                capture_output=True, text=True, timeout=budget,
-                cwd=_REPO, env=child_env,
-            )
-        except subprocess.TimeoutExpired:
-            print(f"bench[{label}]: parent backstop timeout — degrading",
+        # a freshly-wedged TPU relay (e.g. a SIGKILLed predecessor) raises
+        # FAILED_PRECONDITION on the FIRST device op and recovers within a
+        # minute — retry fast startup failures instead of burning the rung
+        for attempt in range(3):
+            try:
+                t0 = time.perf_counter()
+                proc = subprocess.run(
+                    [sys.executable, "-u", os.path.abspath(__file__), "--rung", str(idx)],
+                    capture_output=True, text=True, timeout=budget,
+                    cwd=_REPO, env=child_env,
+                )
+                elapsed = time.perf_counter() - t0
+            except subprocess.TimeoutExpired:
+                print(f"bench[{label}]: parent backstop timeout — degrading",
+                      file=sys.stderr, flush=True)
+                proc = None
+                break
+            if proc.returncode == 0 or elapsed > 120:
+                break
+            print(f"bench[{label}]: startup failure rc={proc.returncode} after "
+                  f"{elapsed:.0f}s — retrying ({attempt + 1}/3)",
                   file=sys.stderr, flush=True)
+            time.sleep(45)
+        if proc is None:
             continue
         sys.stderr.write(proc.stderr[-4000:])
         lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]

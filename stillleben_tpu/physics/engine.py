@@ -77,9 +77,10 @@ def gather_contacts(
     state: BodyState,
     floor: Floor,
     pairs: jax.Array,
+    max_narrow_pairs: int = 1024,
 ) -> Contacts:
     fc = floor_contacts(atlas, state, params, floor)
-    pc = pair_contacts(atlas, state, params, pairs)
+    pc = pair_contacts(atlas, state, params, pairs, max_narrow_pairs=max_narrow_pairs)
     return concat_contacts(fc, pc)
 
 
@@ -110,7 +111,9 @@ def step_fn(
     from .solver import position_correction
 
     state = integrate_velocities(params, state, dt, cfg)
-    contacts = gather_contacts(atlas, params, state, floor, pairs)
+    contacts = gather_contacts(
+        atlas, params, state, floor, pairs, max_narrow_pairs=cfg.max_narrow_pairs
+    )
     state, report, _ = solve_contacts(contacts, params, state, dt, cfg)
     # re-clamp: a diverging contact solve must not translate into an
     # unbounded displacement this substep
@@ -166,7 +169,10 @@ def frame_fn(
     )
     margin = 0.01 + (vmax + cfg.gravity_vec[2] * -frame_dt) * frame_dt
     fc = floor_contacts(atlas, state, params, floor)
-    pc = pair_contacts(atlas, state, params, pairs, overlap_margin=margin)
+    pc = pair_contacts(
+        atlas, state, params, pairs, overlap_margin=margin,
+        max_narrow_pairs=cfg.max_narrow_pairs,
+    )
     contacts = concat_contacts(fc, pc)
 
     pos0 = state.pos

@@ -110,6 +110,12 @@ class SolverConfig(NamedTuple):
     contact_gen: str = "substep"
     warm_start: float = 0.9  # cached-impulse fraction ("frame" mode)
     stick_velocity: float = 0.05  # m/s slip below which static friction holds
+    # broadphase budget: candidate hull pairs kept (by bounding-sphere
+    # overlap top-K) ahead of the SAT narrowphase each contact-gen call.
+    # The SAT tensors are (K, PH, VH) — this K scales the whole narrowphase.
+    # 256 covers dense 10-object piles of decomposed meshes (~100 hulls);
+    # raise for many-body scenes.
+    max_narrow_pairs: int = 256
 
     @property
     def gravity_vec(self) -> jax.Array:
@@ -132,18 +138,30 @@ def make_empty_state(num_bodies: int) -> BodyState:
 def build_hull_atlas(
     hull_lists: list[list[dict]],
     max_hulls: int | None = None,
-    max_verts: int = MAX_HULL_VERTS,
-    max_planes: int = MAX_HULL_PLANES,
+    max_verts: int | None = None,
+    max_planes: int | None = None,
 ) -> HullAtlas:
     """Pack per-body hull lists (host numpy) into a padded HullAtlas.
 
     ``hull_lists[b]`` is a list of dicts with keys ``verts`` (V,3) and
     ``planes`` (P,4), already in the body's mesh frame (pretransform baked).
+
+    ``max_verts``/``max_planes`` default to the actual per-atlas maxima
+    rounded up to a multiple of 8 (TPU sublane) — the narrowphase SAT
+    tensors are (pairs, PH, VH), so padding to a fixed global budget
+    (cook-time cap: 64) would multiply their cost by up to 4x for typical
+    YCB hulls (~27 verts / ~50 planes).
     """
     entries = []
     for b, hulls in enumerate(hull_lists):
         for h in hulls:
             entries.append((b, np.asarray(h["verts"], np.float32), np.asarray(h["planes"], np.float32)))
+    if max_verts is None:
+        mv = max((e[1].shape[0] for e in entries), default=8)
+        max_verts = min(-(-mv // 8) * 8, MAX_HULL_VERTS)
+    if max_planes is None:
+        mp = max((e[2].shape[0] for e in entries), default=8)
+        max_planes = min(-(-mp // 8) * 8, MAX_HULL_PLANES)
     nh = max_hulls or max(len(entries), 1)
     if len(entries) > nh:
         raise ValueError(f"too many hulls ({len(entries)}) for atlas budget {nh}")

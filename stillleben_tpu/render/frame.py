@@ -52,6 +52,8 @@ class FrameConfig(NamedTuple):
     alpha_peel: bool = False  # raster-stage alpha cutoff via re-raster of
     # discarded pixels; enable when atlas.has_cutout_materials(atlas)
     alpha_peel_rounds: int = 1  # overlapping-cutout depth (1 covers one layer)
+    pixel_stage: bool | None = None  # exact per-pixel stage for sub-4px
+    # triangles: None = auto (on for dense meshes, >20k faces)
 
 
 class RenderedFrame(NamedTuple):
@@ -100,6 +102,7 @@ def render_frame_core(
                 fine_chunk=cfg.fine_chunk,
                 min_depth=min_depth,
                 use_pallas=cfg.use_pallas,
+                pixel_stage=cfg.pixel_stage,
             )
         else:
             gbuf = rasterize(

@@ -18,6 +18,14 @@ import jax
 # Geometry math in tests assumes f32-accurate matmuls.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compile cache: most of the suite's wall time is XLA:CPU
+# compilation of big render/settle programs; warm re-runs skip it.
+import pathlib
+
+_cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache_cpu"
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import pathlib
 
 import pytest

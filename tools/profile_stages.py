@@ -113,6 +113,10 @@ def main():
         ("notex", "render textures off", cfgv(sample_textures=False)),
         ("flat", "render flat (raster+minimal shade)",
          cfgv(shading="flat", shadow_mode="off", ssao=False)),
+        ("flat_nopix", "render flat, pixel stage off",
+         cfgv(shading="flat", shadow_mode="off", ssao=False, pixel_stage=False)),
+        ("flat_nopallas", "render flat, XLA fine stage",
+         cfgv(shading="flat", shadow_mode="off", ssao=False, use_pallas=False)),
     ]
     # PROF_VARIANTS: comma-separated keys (default: all) — each variant is a
     # fresh 5+ minute XLA compile on the relay, so select what you need
@@ -122,6 +126,23 @@ def main():
         if keys_sel and key not in keys_sel:
             continue
         timeit(label, make_render(cfg), poses, cams, lights)
+
+    if not keys_sel or "geom" in keys_sel:
+        from stillleben_tpu.render.rasterize import geometry_stage
+
+        @jax.jit
+        def geom_only(poses, cams):
+            def one(p, c):
+                nb_render = tpl.base_inputs.obj_to_world.shape[0]
+                otw = tpl.base_inputs.obj_to_world.at[: p.shape[0]].set(
+                    p[:nb_render]
+                )
+                inputs = tpl.base_inputs._replace(obj_to_world=otw, cam_pose=c)
+                return geometry_stage(tpl.render_atlas, inputs, WIDTH, HEIGHT)
+
+            return jax.vmap(one)(poses, cams)
+
+        timeit("geometry stage only", geom_only, poses, cams)
 
 
 if __name__ == "__main__":
