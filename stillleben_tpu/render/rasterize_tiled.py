@@ -133,43 +133,50 @@ def rasterize_vertices(
     # ---- tile pair list for medium triangles --------------------------------
     # XLA's TPU sort is a bitonic network — O(n log^2 n) HBM passes — so the
     # frame cost for dense meshes is DOMINATED by how many pair keys get
-    # sorted. Compact the medium class to a bounded id list first (cumsum +
-    # collision-free scatter, no sort) so the pair sort runs over
-    # med_cap x 16 instead of F x 16 mostly-sentinel keys.
-    med_cap = int(min(F, max(16384, F // 8)))
-    med_rank = jnp.cumsum(small.astype(jnp.int32)) - 1
-    med_src = jnp.where(small & (med_rank < med_cap), med_rank, med_cap)
+    # sorted. Two reductions: (1) compact the medium class to a bounded id
+    # list first (cumsum + collision-free scatter, no sort), (2) split it by
+    # tile SPAN — a <= 2x2-span triangle needs only 4 pair slots, not
+    # MAX_SPAN=16, and in dense scenes nearly all mediums are <= 2x2 — so
+    # the sort runs over ~cap2*4 keys instead of med_cap*16.
     arangeF = jnp.arange(F, dtype=jnp.int32)
-    med_ids = (
-        jnp.zeros((med_cap + 1,), jnp.int32)
-        .at[med_src]
-        .set(arangeF, mode="drop")[:med_cap]
-    )
-    med_ok = (
-        jnp.zeros((med_cap + 1,), bool).at[med_src].set(small, mode="drop")[:med_cap]
-    )
-
-    s = jnp.arange(MAX_SPAN, dtype=jnp.int32)
-    sx = s % SPAN_TILES
-    sy = s // SPAN_TILES
-    pair_tx = tx0[med_ids][:, None] + sx[None, :]
-    pair_ty = ty0[med_ids][:, None] + sy[None, :]
-    pair_ok = (
-        med_ok[:, None]
-        & (sx[None, :] < span_x[med_ids][:, None])
-        & (sy[None, :] < span_y[med_ids][:, None])
-    )
-    pair_tile = pair_ty * tw + pair_tx
-
     znorm = jnp.clip(zmin / far, 0.0, 1.0) * 0.999
-    key = jnp.where(
-        pair_ok,
-        pair_tile.astype(jnp.float32) + znorm[med_ids][:, None],
-        jnp.float32(n_tiles + 2),
-    ).reshape(-1)
-    pair_tri = jnp.broadcast_to(
-        med_ids[:, None], (med_cap, MAX_SPAN)
-    ).reshape(-1)
+
+    def _span_class_pairs(mask, span_budget, cap):
+        """(key, tri) pair arrays for a compacted span class."""
+        rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        src = jnp.where(mask & (rank < cap), rank, cap)
+        ids = (
+            jnp.zeros((cap + 1,), jnp.int32).at[src].set(arangeF, mode="drop")[:cap]
+        )
+        ok = jnp.zeros((cap + 1,), bool).at[src].set(mask, mode="drop")[:cap]
+        n_slots = span_budget * span_budget
+        s = jnp.arange(n_slots, dtype=jnp.int32)
+        sx = s % span_budget
+        sy = s // span_budget
+        ptx = tx0[ids][:, None] + sx[None, :]
+        pty = ty0[ids][:, None] + sy[None, :]
+        pok = (
+            ok[:, None]
+            & (sx[None, :] < span_x[ids][:, None])
+            & (sy[None, :] < span_y[ids][:, None])
+        )
+        ptile = pty * tw + ptx
+        key = jnp.where(
+            pok,
+            ptile.astype(jnp.float32) + znorm[ids][:, None],
+            jnp.float32(n_tiles + 2),
+        ).reshape(-1)
+        tri = jnp.broadcast_to(ids[:, None], (cap, n_slots)).reshape(-1)
+        return key, tri
+
+    small2 = small & (span_x <= 2) & (span_y <= 2)
+    small4 = small & ~small2
+    cap2 = int(min(F, max(16384, F // 8)))
+    cap4 = int(min(F, max(4096, F // 32)))
+    key2, tri2 = _span_class_pairs(small2, 2, cap2)
+    key4, tri4 = _span_class_pairs(small4, SPAN_TILES, cap4)
+    key = jnp.concatenate([key2, key4])
+    pair_tri = jnp.concatenate([tri2, tri4])
 
     order = jnp.argsort(key)
     sorted_key = key[order]
@@ -396,49 +403,46 @@ def _run_pixel_stages(
     v, Lf, depth_attr, tiny, px_span_x, px_span_y, x0, y0,
     width, height, near, far, min_depth, depth_img, tri_img,
 ):
-    """Split the tiny class by bbox size before the sort-based exact stage:
-    sub-2px triangles (the bulk of dense scanned meshes) pay a 4-pair window,
-    and the 2-4px remainder is COMPACTED (cumsum scatter, no sort) before its
-    16-pair window — together ~6x less bitonic-sort traffic than one
-    F x 16 pass."""
+    """Split the tiny class by bbox size: sub-2px triangles (the bulk of
+    dense scanned meshes) pay a 4-pair window, and the 2-4px remainder is
+    COMPACTED (cumsum scatter, no sort) before its 16-pair window. Both
+    classes' (pixel, depth, id) pair lists feed ONE shared scatter-min
+    resolve — a single 3-op chain instead of two."""
     F = v.shape[0]
     tiny2 = tiny & (px_span_x <= 2) & (px_span_y <= 2)
-    depth_img, tri_img = _pixel_stage(
-        v, Lf, depth_attr, tiny2, x0, y0, width, height, near, far,
-        min_depth, depth_img, tri_img, window=2,
+    pid2, w2, tid2 = _pixel_pairs(
+        Lf, depth_attr, tiny2, x0, y0, width, height, near, far,
+        min_depth, window=2,
     )
     tiny4 = tiny & ~tiny2
-    cap4 = int(min(F, max(4096, F // 8)))
+    cap4 = int(min(F, max(4096, F // 16)))
     rank = jnp.cumsum(tiny4.astype(jnp.int32)) - 1
     src = jnp.where(tiny4 & (rank < cap4), rank, cap4)
     ar = jnp.arange(F, dtype=jnp.int32)
     ids4 = jnp.zeros((cap4 + 1,), jnp.int32).at[src].set(ar, mode="drop")[:cap4]
     ok4 = jnp.zeros((cap4 + 1,), bool).at[src].set(tiny4, mode="drop")[:cap4]
-    return _pixel_stage(
-        v[ids4], Lf[ids4], depth_attr[ids4], ok4, x0[ids4], y0[ids4],
-        width, height, near, far, min_depth, depth_img, tri_img,
-        window=4, tri_ids=ids4,
+    pid4, w4, tid4 = _pixel_pairs(
+        Lf[ids4], depth_attr[ids4], ok4, x0[ids4], y0[ids4],
+        width, height, near, far, min_depth, window=4, tri_ids=ids4,
+    )
+    return _resolve_pixel_pairs(
+        jnp.concatenate([pid2, pid4]),
+        jnp.concatenate([w2, w4]),
+        jnp.concatenate([tid2, tid4]),
+        width, height, depth_img, tri_img,
     )
 
 
-def _pixel_stage(
-    v, Lf, depth_attr, tiny, x0, y0, width, height, near, far, min_depth,
-    depth_img, tri_img, window=PIXEL_WINDOW, tri_ids=None,
+def _pixel_pairs(
+    Lf, depth_attr, tiny, x0, y0, width, height, near, far, min_depth,
+    window=PIXEL_WINDOW, tri_ids=None,
 ):
-    """Exact z-buffer over the tiny class: evaluate center coverage for all
-    F x window^2 (tri, pixel) pairs, then resolve the winner per pixel with
-    TWO scatter-min passes — pass 1 scatter-mins the depth per pixel, pass 2
-    gathers the winning depth back to the pairs and scatter-mins the
-    triangle id among exact-depth matches (deterministic lowest-id tie
-    break). The earlier sort+searchsorted resolve cost ~3x more on v5e (a
-    bitonic argsort of F*window^2 keys + a 20-round searchsorted) and its
-    packed f32 (pixel + depth) key quantized depth to ~n_px ULPs — only ~5
-    bits of z at 640x480. Callers split by bbox size: sub-2px triangles —
-    the bulk of dense scanned meshes — use window 2 (4 pairs/tri).
+    """(pixel-id, depth, tri-id) covering pairs for one tiny span class:
+    center coverage evaluated for all F x window^2 (tri, pixel) pairs.
 
     ``tri_ids``: original triangle ids when the inputs are a compacted
     subset (None = identity)."""
-    F = v.shape[0]
+    F = Lf.shape[0]
     n_px = width * height
     n_win = window * window
 
@@ -476,10 +480,23 @@ def _pixel_stage(
 
     pid = jnp.where(covers, pix_id, n_px).reshape(-1)  # n_px = dump slot
     wflat = jnp.where(covers, wp, jnp.inf).reshape(-1)
-    dmin = jnp.full((n_px + 1,), jnp.inf, jnp.float32).at[pid].min(wflat)
-
     tids = jnp.arange(F, dtype=jnp.int32) if tri_ids is None else tri_ids
     tid_pairs = jnp.broadcast_to(tids[:, None], (F, n_win)).reshape(-1)
+    return pid, wflat, tid_pairs
+
+
+def _resolve_pixel_pairs(pid, wflat, tid_pairs, width, height, depth_img, tri_img):
+    """Winner-per-pixel from covering pairs with TWO scatter-min passes —
+    pass 1 scatter-mins the depth per pixel, pass 2 gathers the winning
+    depth back to the pairs and scatter-mins the triangle id among
+    exact-depth matches (deterministic lowest-id tie break). The earlier
+    sort+searchsorted resolve cost ~3x more on v5e (a bitonic argsort of
+    all pair keys + a 20-round searchsorted) and its packed f32
+    (pixel + depth) key quantized depth to ~n_px ULPs — only ~5 bits of z
+    at 640x480."""
+    n_px = width * height
+    dmin = jnp.full((n_px + 1,), jnp.inf, jnp.float32).at[pid].min(wflat)
+
     BIGID = jnp.int32(2**31 - 1)
     # exact f32 equality is safe: the winning pair's wflat is the very value
     # pass 1 scattered

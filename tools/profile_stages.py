@@ -72,13 +72,28 @@ def main():
 
     keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
 
-    @jax.jit
-    def settle_all(keys):
-        return jax.vmap(lambda k: settle_scene(k, tpl, solver_cfg, 100))(keys)
+    def make_settle(cfg):
+        @jax.jit
+        def settle_all(keys):
+            return jax.vmap(lambda k: settle_scene(k, tpl, cfg, 100))(keys)
 
+        return settle_all
+
+    settle_all = make_settle(solver_cfg)
     poses, cams, lights = settle_all(keys)
     jax.block_until_ready(poses)
     timeit("settle (100x4) B=%d" % BATCH, settle_all, keys)
+
+    # PROF_SETTLE=1: ablate the settle cost (narrowphase vs solver split)
+    if os.environ.get("PROF_SETTLE"):
+        for label, over in [
+            ("settle frame-mode contact gen", dict(contact_gen="frame")),
+            ("settle velocity_iterations=4", dict(velocity_iterations=4)),
+            ("settle velocity_iterations=1", dict(velocity_iterations=1)),
+            ("settle position_iterations=1", dict(position_iterations=1)),
+            ("settle max_narrow_pairs=128", dict(max_narrow_pairs=128)),
+        ]:
+            timeit(label, make_settle(solver_cfg._replace(**over)), keys)
 
     def make_render(cfg):
         @jax.jit
