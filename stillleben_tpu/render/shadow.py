@@ -24,17 +24,18 @@ SHADOW_BIAS = 3e-5  # reference render_shader.frag:335
 def _splat_tiny_depth(
     p: jax.Array,  # (F, 3, 3) homogeneous (x, y, 1) shadow-pixel verts
     zf: jax.Array,  # (F, 3) light-space depth per vertex
-    tiny: jax.Array,  # (F,) bool: tris whose bbox fits a 2x2 pixel window
+    tiny: jax.Array,  # (F,) bool: tris whose bbox fits the pixel window
     size: int,
+    window: int = 2,
 ) -> jax.Array:
-    """Exact z-buffer of sub-2px triangles as ONE scatter-min -> (S, S).
+    """Exact z-buffer of sub-window-px triangles as ONE scatter-min -> (S, S).
 
     Dense scanned meshes project to ~1-2 px triangles even in a 2048^2
     shadow map; routing them through per-tile lists overflows any static
     capacity, and the sort+searchsorted exact stage costs ~630 ms at 4.2M
     pixels on v5e (searchsorted = 20 serial gather rounds). A depth-only
     pass needs no triangle ids, so the winner-per-pixel reduction IS a
-    scatter-min (~34 ms measured) over the <= 4 candidate pixels per
+    scatter-min (~34 ms measured) over the window^2 candidate pixels per
     triangle — identical coverage/depth semantics, no sort, no search."""
     from .rasterize_tiled import _edge_lines
 
@@ -44,9 +45,9 @@ def _splat_tiny_depth(
     y0 = jnp.floor(p[..., 1].min(-1)).astype(jnp.int32)
 
     Lf = _edge_lines(p)  # (F, 3edges, 3coefs)
-    win = jnp.arange(4, dtype=jnp.int32)
-    px = x0[:, None] + (win % 2)[None, :]
-    py = y0[:, None] + (win // 2)[None, :]
+    win = jnp.arange(window * window, dtype=jnp.int32)
+    px = x0[:, None] + (win % window)[None, :]
+    py = y0[:, None] + (win // window)[None, :]
     cx = px.astype(jnp.float32) + 0.5
     cy = py.astype(jnp.float32) + 0.5
     E = (
@@ -105,29 +106,43 @@ def _ortho_rasterize_depth(
     ymin = p[..., 1].min(-1)
     ymax = p[..., 1].max(-1)
     on_map = (xmax >= 0) & (xmin < size) & (ymax >= 0) & (ymin < size)
-    tiny = (
-        tri_on
-        & on_map
-        & (jnp.ceil(xmax) - jnp.floor(xmin) <= 2)
-        & (jnp.ceil(ymax) - jnp.floor(ymin) <= 2)
-    )
+    spx = jnp.ceil(xmax) - jnp.floor(xmin)
+    spy = jnp.ceil(ymax) - jnp.floor(ymin)
+    tiny2 = tri_on & on_map & (spx <= 2) & (spy <= 2)
+    # 2-4 px class: at 2048^2 the BULK of a dense scanned mesh lands here
+    # (camera-subpixel tris are ~3-6 shadow px) — splat it too (compacted,
+    # 16-slot window) so the binned lists only hold sparse >4px triangles
+    tiny4 = tri_on & on_map & ~tiny2 & (spx <= 4) & (spy <= 4)
+    F = p.shape[0]
+    cap4 = int(min(F, max(8192, F // 2)))
+    rank = jnp.cumsum(tiny4.astype(jnp.int32)) - 1
+    src = jnp.where(tiny4 & (rank < cap4), rank, cap4)
+    ar = jnp.arange(F, dtype=jnp.int32)
+    ids4 = jnp.zeros((cap4 + 1,), jnp.int32).at[src].set(ar, mode="drop")[:cap4]
+    ok4 = jnp.zeros((cap4 + 1,), bool).at[src].set(tiny4, mode="drop")[:cap4]
+    # overflow beyond cap4 stays in the binned path
+    in_splat4 = jnp.zeros((F,), bool).at[ids4].set(ok4)
 
     # High-res maps use BIGGER bins: at 2048^2 with 16 px tiles, ordinary
     # object faces (~200 px) overflow the global big-triangle list and the
     # fine grid balloons to 16k cells. 64 px tiles keep the same content in
     # per-tile lists (span class covers <= 256 px) over ~1k cells; with the
-    # tiny class routed to the splat, the lists only hold sparse >2px tris.
+    # tiny classes routed to the splats, the lists only hold sparse >4px tris.
     tile = 64 if size >= 1024 else 16
     depth_img, _ = rasterize_vertices(
-        p, zf, tri_on & ~tiny, size, size,
+        p, zf, tri_on & ~tiny2 & ~in_splat4, size, size,
         near=-1e-3, far=1.0,
-        tile_capacity=256, big_capacity=16, fine_chunk=128,
+        tile_capacity=128, big_capacity=16, fine_chunk=128,
         min_depth=None,
         use_pallas=use_pallas,
         tile=tile,
         pixel_stage=False,
     )
-    depth_img = jnp.minimum(depth_img, _splat_tiny_depth(p, zf, tiny, size))
+    depth_img = jnp.minimum(depth_img, _splat_tiny_depth(p, zf, tiny2, size))
+    depth_img = jnp.minimum(
+        depth_img,
+        _splat_tiny_depth(p[ids4], zf[ids4], ok4, size, window=4),
+    )
     return jnp.minimum(depth_img, 1.0)
 
 

@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""Micro-bisect of the rasterizer's cost structure on the real TPU (run SOLO).
+"""Micro-timings of the raster building blocks at bench-realistic sizes
+(F=210k faces, 640x480 camera, 2048^2 shadow). Run SOLO on the TPU.
 
-Times the shadow-pass raster at 2048^2 on bench-shaped geometry, its
-pixel_stage=False ablation, and the individual primitives the pipeline leans
-on (argsort, searchsorted, gather, scatter) at representative sizes — so
-optimization targets the measured hot spot instead of the suspected one.
+The binned raster's cost is dominated by data-movement primitives whose TPU
+costs are not obvious from FLOPs: bitonic argsort, scatter-min with
+duplicate indices, row gathers, cumsum compaction. This prints each at the
+sizes the pipeline actually uses so layout decisions are data-driven.
 """
 
 import os
@@ -20,119 +21,117 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
 
-F = int(os.environ.get("BIS_F", "210000"))  # bench textured workload: ~208k tris
-S = int(os.environ.get("BIS_S", "2048"))
+F = int(os.environ.get("BIS_F", "210000"))
+N_PX = 640 * 480
+B = int(os.environ.get("BIS_B", "8"))
 
 
 def timeit(label, fn, *args, n=3):
     t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
+    out = jax.block_until_ready(fn(*args))
     warm = time.perf_counter() - t0
     best = 1e9
     for _ in range(n):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        out = jax.block_until_ready(fn(*args))
         best = min(best, time.perf_counter() - t0)
-    print(f"{label:46s} {best * 1000:9.2f} ms   (compile+warm {warm:.1f}s)",
+    print(f"{label:52s} {best * 1000 / B:8.2f} ms/scene  (warm {warm:.1f}s)",
           flush=True)
     return best
 
 
 def main():
-    print(f"devices: {jax.devices()}  F={F} S={S}", flush=True)
-    key = jax.random.PRNGKey(0)
+    print(f"devices: {jax.devices()}  F={F} B={B}", flush=True)
+    k = jax.random.PRNGKey(0)
+    npairs2 = F * 4
+    pid = jax.random.randint(k, (B, npairs2), 0, N_PX + 1)
+    w = jax.random.uniform(k, (B, npairs2), jnp.float32)
+    tid = jax.random.randint(k, (B, npairs2), 0, F)
 
-    # bench-shaped ortho shadow geometry: tris ~1.6 px in the 2048^2 map
-    k1, k2, k3 = jax.random.split(key, 3)
-    centers = jax.random.uniform(k1, (F, 1, 2), minval=100.0, maxval=S - 100.0)
-    offs = jax.random.normal(k2, (F, 3, 2)) * 0.8
-    xy = (centers + offs).reshape(F * 3, 2)
-    z = jax.random.uniform(k3, (F * 3,), minval=0.2, maxval=0.8)
-    faces = jnp.arange(F * 3, dtype=jnp.int32).reshape(F, 3)
-    tri_on = jnp.ones((F,), bool)
+    @jax.jit
+    def scatter_min_f32(pid, w):
+        return jax.vmap(
+            lambda p, x: jnp.full((N_PX + 1,), jnp.inf, jnp.float32)
+            .at[p]
+            .min(x)
+        )(pid, w)
 
-    from stillleben_tpu.render.shadow import _ortho_rasterize_depth
+    @jax.jit
+    def scatter_min_i32(pid, t):
+        return jax.vmap(
+            lambda p, x: jnp.full((N_PX + 1,), 2**31 - 1, jnp.int32).at[p].min(x)
+        )(pid, tid)
 
-    def shadow_full(xy, z):
-        return _ortho_rasterize_depth(xy, z, faces, tri_on, S)
+    @jax.jit
+    def gather_back(pid, img):
+        return jax.vmap(lambda p, i: i[p])(pid, img)
 
-    timeit("shadow raster 2048 FULL", jax.jit(shadow_full), xy, z)
+    @jax.jit
+    def full_resolve(pid, w, tid):
+        def one(p, x, t):
+            dmin = jnp.full((N_PX + 1,), jnp.inf, jnp.float32).at[p].min(x)
+            cand = jnp.where(x <= dmin[p], t, 2**31 - 1)
+            return jnp.full((N_PX + 1,), 2**31 - 1, jnp.int32).at[p].min(cand)
 
-    from stillleben_tpu.render.rasterize_tiled import rasterize_vertices
+        return jax.vmap(one)(pid, w, tid)
 
-    def shadow_nopix(xy, z):
-        p = jnp.concatenate([xy, jnp.ones_like(xy[:, :1])], -1)[faces]
-        zf = z[faces]
-        d, _ = rasterize_vertices(
-            p, zf, tri_on, S, S, near=-1e-3, far=1.0,
-            tile_capacity=256, big_capacity=16, fine_chunk=128,
-            min_depth=None, tile=64, pixel_stage=False,
-        )
-        return d
+    img = scatter_min_f32(pid, w)
+    timeit(f"scatter-min f32 {npairs2} -> {N_PX}", scatter_min_f32, pid, w)
+    timeit(f"scatter-min i32 {npairs2} -> {N_PX}", scatter_min_i32, pid, tid)
+    timeit(f"gather {npairs2} from {N_PX}", gather_back, pid, img)
+    timeit(f"two-pass resolve {npairs2}", full_resolve, pid, w, tid)
 
-    timeit("shadow raster 2048 pixel_stage=False", jax.jit(shadow_nopix), xy, z)
+    for n in (F * 2, F, F // 2):
+        pidn, wn, tidn = pid[:, :n], w[:, :n], tid[:, :n]
+        timeit(f"two-pass resolve {n}", full_resolve, pidn, wn, tidn)
 
-    def shadow_t16(xy, z):
-        p = jnp.concatenate([xy, jnp.ones_like(xy[:, :1])], -1)[faces]
-        zf = z[faces]
-        d, _ = rasterize_vertices(
-            p, zf, tri_on, S, S, near=-1e-3, far=1.0,
-            tile_capacity=256, big_capacity=16, fine_chunk=128,
-            min_depth=None, tile=16, pixel_stage=False,
-        )
-        return d
+    @jax.jit
+    def asort(x):
+        return jax.vmap(jnp.argsort)(x)
 
-    timeit("shadow raster 2048 tile=16 nopix", jax.jit(shadow_t16), xy, z)
+    keys = jax.random.uniform(k, (B, npairs2), jnp.float32)
+    timeit(f"argsort {npairs2} f32", asort, keys)
+    timeit(f"argsort {npairs2 // 4} f32", asort, keys[:, : npairs2 // 4])
 
-    # ---- primitive costs ----------------------------------------------------
-    n_px = S * S
-    npairs = 4 * F
+    @jax.jit
+    def compact(mask):
+        def one(mk):
+            rank = jnp.cumsum(mk.astype(jnp.int32)) - 1
+            cap = npairs2 // 4
+            src = jnp.where(mk & (rank < cap), rank, cap)
+            ar = jnp.arange(npairs2, dtype=jnp.int32)
+            return (
+                jnp.zeros((cap + 1,), jnp.int32).at[src].set(ar, mode="drop")[:cap]
+            )
 
-    kk = jax.random.split(key, 8)
-    pairs_key = jax.random.uniform(kk[0], (npairs,), maxval=float(n_px))
-    timeit(f"argsort {npairs} f32", jax.jit(jnp.argsort), pairs_key)
+        return jax.vmap(one)(mask)
 
-    sorted_keys = jnp.sort(pairs_key)
-    queries = jnp.arange(n_px, dtype=jnp.float32)
+    mask = w < 0.25
+    timeit(f"cumsum-compact {npairs2} -> {npairs2 // 4}", compact, mask)
 
-    def ss(sk):
-        return jnp.searchsorted(sk, queries)
+    # row gather at texture-tap sizes: 8 taps x (H, W) rows of 16 channels
+    stack = jax.random.uniform(k, (2 * 87381, 16), jnp.float32)
+    ids_px = jax.random.randint(k, (B, 8, N_PX), 0, stack.shape[0])
 
-    timeit(f"searchsorted {npairs} keys x {n_px} queries", jax.jit(ss), sorted_keys)
+    @jax.jit
+    def tex_taps(ids):
+        return jax.vmap(lambda i: stack[i])(ids.reshape(B, -1)).sum(axis=1)
 
-    idx = jax.random.randint(kk[1], (npairs,), 0, n_px)
-    vals = jax.random.uniform(kk[2], (npairs,))
+    timeit("texture taps 8 x 307k rows of 16f32", tex_taps, ids_px)
 
-    def scat(i, v):
-        return jnp.zeros((n_px,), jnp.float32).at[i].min(v, mode="drop")
+    stack_u32 = (stack[:, :4] * 255).astype(jnp.uint32)
+    packed = (
+        stack_u32[:, 0]
+        | (stack_u32[:, 1] << 8)
+        | (stack_u32[:, 2] << 16)
+        | (stack_u32[:, 3] << 24)
+    )  # (N,) one u32 word per texel
 
-    timeit(f"scatter-min {npairs} -> {n_px}", jax.jit(scat), idx, vals)
+    @jax.jit
+    def tex_taps_packed(ids):
+        return jax.vmap(lambda i: packed[i])(ids.reshape(B, -1)).sum(axis=1)
 
-    gsrc = jax.random.uniform(kk[3], (16, F))
-    gidx = jax.random.randint(kk[4], (400_000,), 0, F)
-
-    def gat(s, i):
-        return jnp.take(s, i, axis=1)
-
-    timeit("gather (16, F) x 400k ids", jax.jit(gat), gsrc, gidx)
-
-    img = jax.random.uniform(kk[5], (n_px,))
-    gidx2 = jax.random.randint(kk[6], (n_px,), 0, npairs)
-
-    def gat2(s, i):
-        return s[i]
-
-    timeit(f"gather {n_px} from {npairs}", jax.jit(gat2), pairs_key, gidx2)
-
-    # one-hot matmul alternative for per-pixel reduction at tile granularity:
-    # (T, C) x (C, P) min-plus is emulated via where+min reductions in the
-    # Pallas kernel; here measure a plain f32 matmul of the same shape
-    a = jax.random.normal(kk[7], (1024, 272))
-    b = jax.random.normal(kk[0], (272, 4096))
-    timeit("matmul 1024x272x4096 f32 (x16 tiles)", jax.jit(
-        lambda a, b: a @ b), a, b)
+    timeit("texture taps 8 x 307k words of 1u32", tex_taps_packed, ids_px)
 
 
 if __name__ == "__main__":
