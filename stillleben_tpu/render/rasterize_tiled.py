@@ -8,8 +8,8 @@ keys — XLA-friendly, static shapes:
 
 - "tiny" triangles (pixel bbox within a 4x4-pixel window — the bulk of dense
   scanned meshes) are z-buffered EXACTLY per pixel: the center-coverage test
-  for all F x 16 (tri, pixel) pairs is evaluated up front, covering pairs are
-  sorted by (pixel, depth), and the winner is the first entry per pixel.
+  for all F x window^2 (tri, pixel) pairs is evaluated up front and the
+  winner per pixel is resolved with two scatter-min passes (depth, then id).
 - "medium" triangles (<= 4x4 tile span) go through per-tile lists with a
   depth-sorted capacity (overflow drops the FARTHEST triangles — the right
   failure mode for a z-buffer; their >= window-size area bounds the count).
@@ -242,10 +242,13 @@ def rasterize_vertices(
         ids_masked = jnp.where(tile_ok, tile_tris, -1)
         ids_c = jnp.pad(ids_masked, ((0, 0), (0, pad_k)), constant_values=-1)
         ids_c = ids_c.reshape(n_tiles, n_chunks, fine_chunk)
-        # Line table with the TRIANGLE axis minor: a (..., 15) layout pads
-        # 15 -> 128 in HBM (8.5x) and the v1 (..., 5C, 3) matmul operand
-        # pads 3 -> 128 (42x — OOM'd the 2048^2 shadow pass).
-        LT = jnp.pad(Lcat, ((0, 0), (0, FIELDS - 15))).T  # (FIELDS, F)
+        # Line table gathered ROW-major — a column gather from (FIELDS, F)
+        # costs ~60ns/id on v5e vs ~5ns for row gathers (tools/raster_bisect)
+        # — then transposed per block to the kernel's triangle-minor layout
+        # (a (..., 15) layout into the KERNEL pads 15 -> 128 in HBM (8.5x),
+        # and the v1 (..., 5C, 3) matmul operand pads 3 -> 128 — 42x, which
+        # OOM'd the 2048^2 shadow pass).
+        LT = jnp.pad(Lcat, ((0, 0), (0, FIELDS - 15)))  # (F, FIELDS)
         # Hard-raster visibility is non-differentiable by design (the
         # reference's trick too: gradients flow only through the
         # barycentrics recomputed in shading). Stop tangents BEFORE the
@@ -261,8 +264,8 @@ def rasterize_vertices(
             """Gather + kernel for one slab of tiles (the gathered G table is
             the peak-memory tensor; slabbing bounds it at high tile counts)."""
             nts = ids_slab.shape[0]
-            g = jnp.take(LT, jnp.maximum(ids_slab, 0).reshape(-1), axis=1)
-            g = g.reshape(FIELDS, nts, n_chunks, fine_chunk).transpose(1, 2, 0, 3)
+            g = LT[jnp.maximum(ids_slab, 0).reshape(-1)]  # row gather
+            g = g.reshape(nts, n_chunks, fine_chunk, FIELDS).transpose(0, 1, 3, 2)
             return fine_raster_pallas(
                 g, ids_slab, md_slab, float(near), float(far), fine_chunk, tw,
                 interpret=interpret, tile_offset=offset.reshape(1), tile=tile,
@@ -294,10 +297,7 @@ def rasterize_vertices(
         if pixel_stage:
             depth_img, tri_img = _run_pixel_stages(
                 v, Lf, depth_attr, tiny, px_span_x, px_span_y, x0, y0,
-                width, height, near, far,
-                min_depth
-                if min_depth is not None
-                else jnp.zeros((height, width), jnp.float32),
+                width, height, near, far, min_depth,
                 depth_img, tri_img,
             )
         return depth_img, tri_img
@@ -381,10 +381,7 @@ def rasterize_vertices(
     if pixel_stage:
         depth_img, tri_img = _run_pixel_stages(
             v, Lf, depth_attr, tiny, px_span_x, px_span_y, x0, y0,
-            width, height, near, far,
-            min_depth
-            if min_depth is not None
-            else jnp.zeros((height, width), jnp.float32),
+            width, height, near, far, min_depth,
             depth_img, tri_img,
         )
     return depth_img, tri_img
@@ -466,8 +463,6 @@ def _pixel_pairs(
     denom = jnp.where(jnp.abs(Esum) < 1e-20, 1.0, Esum)
     wp = (E * depth_attr[:, None, :]).sum(-1) / denom  # (F, n_win)
 
-    md = min_depth.reshape(-1)
-    md_pair = md[jnp.clip(pix_id, 0, n_px - 1)]
     covers = (
         tiny[:, None]
         & in_image
@@ -475,8 +470,13 @@ def _pixel_pairs(
         & (jnp.abs(Esum) > 1e-20)
         & (wp > near)
         & (wp <= far)
-        & (wp > md_pair + 1e-5)
     )
+    if min_depth is not None:
+        # depth-peel passes only: the per-pair gather costs ~11 ms/scene at
+        # F=210k (tools/raster_bisect), so first-layer renders skip it
+        md = min_depth.reshape(-1)
+        md_pair = md[jnp.clip(pix_id, 0, n_px - 1)]
+        covers = covers & (wp > md_pair + 1e-5)
 
     pid = jnp.where(covers, pix_id, n_px).reshape(-1)  # n_px = dump slot
     wflat = jnp.where(covers, wp, jnp.inf).reshape(-1)
