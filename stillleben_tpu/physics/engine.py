@@ -176,6 +176,7 @@ def frame_fn(
     contacts = concat_contacts(fc, pc)
 
     pos0 = state.pos
+    quat0 = state.quat
     n = contacts.normal
     sa = jnp.maximum(contacts.body_a, 0)
     sb = jnp.maximum(contacts.body_b, 0)
@@ -185,15 +186,26 @@ def frame_fn(
     nc = n.shape[0]
     zeros = jnp.zeros((nc,), jnp.float32)
     radius = _body_radius(atlas, params)
+    # contact offsets at generation time (body-origin anchored)
+    r_a0 = jnp.where(ma, contacts.point - pos0[sa], 0.0)
+    r_b0 = jnp.where(mb, contacts.point - pos0[sb], 0.0)
 
     def sub(carry, _):
         st, min_sep, acc = carry
-        disp = st.pos - pos0  # (NB, 3) motion since contact generation
-        dd = jnp.einsum(
-            "ci,ci->c",
-            n,
-            jnp.where(mb, disp[sb], 0.0) - jnp.where(ma, disp[sa], 0.0),
-        )
+        # motion of the CONTACT POINTS since generation: translation of the
+        # body origin PLUS the swing of the contact offset under the body's
+        # rotation delta — translation alone under-reports the depth change
+        # of rotating (e.g. toppling) bodies, which reads as persistent
+        # interpenetration and triggers spurious redrops on decomposed-mesh
+        # piles.
+        dq = m.quat_multiply(st.quat, m.quat_conjugate(quat0))  # (NB, 4)
+        dR = m.quat_to_matrix(m.quat_normalize(dq))
+        swing_a = jnp.einsum("cij,cj->ci", dR[sa], r_a0) - r_a0
+        swing_b = jnp.einsum("cij,cj->ci", dR[sb], r_b0) - r_b0
+        disp = st.pos - pos0  # (NB, 3)
+        move_a = jnp.where(ma, disp[sa] + swing_a, 0.0)
+        move_b = jnp.where(mb, disp[sb] + swing_b, 0.0)
+        dd = jnp.einsum("ci,ci->c", n, move_b - move_a)
         ck = contacts._replace(depth=contacts.depth - dd)
         st = integrate_velocities(params, st, sub_dt, cfg)
         st, rep, acc = solve_contacts(ck, params, st, sub_dt, cfg, warm=acc)

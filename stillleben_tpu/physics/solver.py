@@ -211,10 +211,36 @@ def solve_contacts(
         impacting & (bounce > 0.0), jnp.maximum(gap / dt, bounce), gap / dt
     )
     target_vn = jnp.where(gap < 0.0, separated_target, jnp.maximum(bounce, bias))
+    # invalid slots carry -inf depth sentinels (top-k fill): their -inf
+    # targets times a zero effective mass make NaN accumulators that poison
+    # every body through the segment-sum matmuls (0 * inf)
+    target_vn = jnp.where(ok, target_vn, 0.0)
 
     # under-relaxation keeps the Jacobi iteration contractive for
     # strongly-coupled contact piles
     relax = cfg.relaxation
+
+    # in-loop velocity clamp: Jacobi on a dense multi-hull pile (hundreds of
+    # coupled contacts per body) can diverge oscillating — without a bound
+    # INSIDE the loop, velocities overflow f32 within one solve (observed
+    # ang_vel 1e14 after 12 iterations on a 3-bunny stack). Matches PhysX's
+    # maxLinearVelocity/maxAngularVelocity which also bound solver output.
+    dyn = ((params.inv_mass > 0) & params.valid)[:, None]
+
+    def _bound(lin, ang):
+        speed = jnp.linalg.norm(lin, axis=-1, keepdims=True)
+        lin = jnp.where(
+            dyn & (speed > cfg.max_velocity),
+            lin * (cfg.max_velocity / jnp.maximum(speed, 1e-9)),
+            lin,
+        )
+        spin = jnp.linalg.norm(ang, axis=-1, keepdims=True)
+        ang = jnp.where(
+            dyn & (spin > cfg.max_angular_velocity),
+            ang * (cfg.max_angular_velocity / jnp.maximum(spin, 1e-9)),
+            ang,
+        )
+        return lin, ang
 
     def body_fn(_, carry):
         lin, ang, acc_n, acc_t1, acc_t2 = carry
@@ -253,6 +279,7 @@ def solve_contacts(
         d_t2 = new_acc_t2 - acc_t2
         lin, ang = _apply_impulse(contacts, kin, lin, ang, d_t2[:, None] * t2)
 
+        lin, ang = _bound(lin, ang)
         return lin, ang, new_acc_n, new_acc_t1, new_acc_t2
 
     zeros = jnp.zeros_like(m_n)
@@ -265,6 +292,7 @@ def solve_contacts(
         wt2 = jnp.clip(warm[2] * w, -max_f, max_f)
         P0 = wn[:, None] * n + wt1[:, None] * t1 + wt2[:, None] * t2
         lin0, ang0 = _apply_impulse(contacts, kin, lin0, ang0, P0)
+        lin0, ang0 = _bound(lin0, ang0)
         init_acc = (wn, wt1, wt2)
     else:
         init_acc = (zeros, zeros, zeros)

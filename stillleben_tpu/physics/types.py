@@ -108,7 +108,13 @@ class SolverConfig(NamedTuple):
     # reuses it (depth-updated) across substeps and warm-starts impulses —
     # ~2x faster settle, wider scatter; use for throughput-first datagen.
     contact_gen: str = "substep"
-    warm_start: float = 0.9  # cached-impulse fraction ("frame" mode)
+    # cached-impulse fraction across "frame"-mode substeps. Default OFF:
+    # on multi-hull piles (decomposed meshes) stale impulses act as glue —
+    # 10-object bunny stacks settle into standing towers (z ~ 1.0) at 0.9
+    # vs the reference-like flat spread (z ~ 0.14) at 0.0, and warm-started
+    # solves are the path into the Jacobi divergence the in-loop velocity
+    # clamp guards against (solver.py::_bound).
+    warm_start: float = 0.0
     stick_velocity: float = 0.05  # m/s slip below which static friction holds
     # broadphase budget: candidate hull pairs kept (by bounding-sphere
     # overlap top-K) ahead of the SAT narrowphase each contact-gen call.

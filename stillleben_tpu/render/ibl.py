@@ -7,20 +7,33 @@ import jax
 import jax.numpy as jnp
 
 from ..core import math as m
-from .light_map import LightMapData, PREFILTER_MIPS, get_brdf_lut, sample_cubemap
+from .light_map import (
+    LightMapData,
+    PREFILTER_MIPS,
+    get_brdf_lut,
+    sample_cubemap,
+    sample_cubemap_packed,
+)
 
 
 def _sample_prefilter(lm: LightMapData, dirs: jax.Array, lod: jax.Array) -> jax.Array:
-    """Trilinear between the 5 prefiltered mips (lod in [0, 4])."""
+    """Trilinear between the 5 prefiltered mips (lod in [0, 4]): bilinear-tap
+    the TWO adjacent levels of the packed chain and lerp — identical math to
+    blending all levels with tent weights, at 8 gathers/px instead of 20."""
+    mips = [lm.prefilter_mip(i) for i in range(PREFILTER_MIPS)]
+    flat = jnp.concatenate([p.reshape(-1, 3) for p in mips], axis=0)
+    sizes = jnp.asarray([p.shape[1] for p in mips], jnp.int32)
+    counts = [6 * p.shape[1] * p.shape[1] for p in mips]
+    offsets = jnp.asarray(
+        [sum(counts[:i]) for i in range(PREFILTER_MIPS)], jnp.int32
+    )
     lod = jnp.clip(lod, 0.0, PREFILTER_MIPS - 1.0)
-    lo = jnp.floor(lod)
-    frac = (lod - lo)[..., None]
-    out = jnp.zeros(dirs.shape[:-1] + (3,), jnp.float32)
-    for i in range(PREFILTER_MIPS):
-        sample_i = sample_cubemap(lm.prefilter_mip(i), dirs)
-        w = jnp.clip(1.0 - jnp.abs(lod - i), 0.0, 1.0)[..., None]
-        out = out + sample_i * w
-    return out
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, PREFILTER_MIPS - 1)
+    frac = (lod - l0.astype(jnp.float32))[..., None]
+    t0 = sample_cubemap_packed(flat, offsets, sizes, dirs, l0)
+    t1 = sample_cubemap_packed(flat, offsets, sizes, dirs, l1)
+    return t0 * (1.0 - frac) + t1 * frac
 
 
 def _sample_lut(lut: jax.Array, NoV: jax.Array, roughness: jax.Array) -> jax.Array:

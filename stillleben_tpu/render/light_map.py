@@ -115,6 +115,57 @@ def sample_cubemap(cube: jax.Array, dirs: jax.Array) -> jax.Array:
     return (c00 * (1 - fu) + c10 * fu) * (1 - fv) + (c01 * (1 - fu) + c11 * fu) * fv
 
 
+def sample_cubemap_packed(
+    flat: jax.Array,  # (sum 6*S_l^2, 3) all mip levels, face-major per level
+    offsets: jax.Array,  # (L,) i32 texel offset of each level
+    sizes: jax.Array,  # (L,) i32 face edge of each level
+    dirs: jax.Array,  # (..., 3)
+    level: jax.Array,  # (...) i32 per-pixel mip level
+) -> jax.Array:
+    """Bilinear sample of ONE mip level per pixel from the packed chain —
+    trilinear LOD sampling touches 2 levels (8 row gathers/px total) instead
+    of blending every level (4L gathers; the profiler showed the all-level
+    blend as a top IBL cost at L=5)."""
+    S = sizes[level]
+    off = offsets[level]
+    Sf = S.astype(jnp.float32)
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (ay > ax) & (ay >= az)
+    face = jnp.where(
+        is_x,
+        jnp.where(x > 0, 0, 1),
+        jnp.where(is_y, jnp.where(y > 0, 2, 3), jnp.where(z > 0, 4, 5)),
+    )
+    ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
+    ma = jnp.maximum(ma, 1e-12)
+    u = jnp.where(
+        is_x,
+        jnp.where(x > 0, -z, z),
+        jnp.where(is_y, x, jnp.where(z > 0, x, -x)),
+    )
+    v = jnp.where(is_x, -y, jnp.where(is_y, jnp.where(y > 0, z, -z), -y))
+    uu = (u / ma + 1.0) * 0.5 * Sf - 0.5
+    vv = (v / ma + 1.0) * 0.5 * Sf - 0.5
+    u0 = jnp.floor(uu)
+    v0 = jnp.floor(vv)
+    fu = (uu - u0)[..., None]
+    fv = (vv - v0)[..., None]
+    base = off + face * S * S
+
+    def fetch(ui, vi):
+        ui = jnp.clip(ui.astype(jnp.int32), 0, S - 1)
+        vi = jnp.clip(vi.astype(jnp.int32), 0, S - 1)
+        return flat[base + vi * S + ui]
+
+    c00 = fetch(u0, v0)
+    c10 = fetch(u0 + 1, v0)
+    c01 = fetch(u0, v0 + 1)
+    c11 = fetch(u0 + 1, v0 + 1)
+    return (c00 * (1 - fu) + c10 * fu) * (1 - fv) + (c01 * (1 - fu) + c11 * fu) * fv
+
+
 def _sample_equirect(img: jax.Array, dirs: jax.Array) -> jax.Array:
     """Reference mapping (cubemap_shader_equirectangular.frag)."""
     Hs, Ws = img.shape[:2]

@@ -254,3 +254,35 @@ def test_settle_pose_distribution():
     # envelope accordingly (still table-scale, not round-1's 2-4 m ejections)
     assert np.quantile(r2, 0.9) < 1.1, f"10-cube scatter {np.quantile(r2, 0.9):.2f} m"
     assert r2.max() < 1.6, f"10-cube max ejection {r2.max():.2f} m"
+
+
+def test_frame_mode_settle_multihull_stable():
+    """Frame-cadence (TGS-style) contact generation on a MULTI-HULL stack —
+    the bench workload's solver path. Regression: a 3-bunny+primitive column
+    used to (a) diverge to NaN poses (Jacobi ang-vel overflow, fixed by the
+    in-loop velocity clamp in solver.py::_bound) and (b) settle into
+    standing towers with warm_start=0.9 (stale impulses as glue; default is
+    now 0.0)."""
+    import stillleben_tpu as sl
+    from stillleben_tpu.parallel.batch import settle_scene, template_from_scene
+
+    scene = sl.Scene((64, 64))
+    bunny = sl.Mesh("/root/reference/tests/stanford_bunny/scene.gltf")
+    bunny.center_bbox()
+    bunny.scale_to_bbox_diagonal(0.25)
+    cube = sl.Mesh("primitive://cube")
+    cube.scale_to_bbox_diagonal(0.2)
+    for m in (bunny, cube, bunny, cube, bunny):
+        scene.add_object(sl.Object(m))
+    tpl = template_from_scene(scene)
+
+    cfg = default_config()._replace(contact_gen="frame")
+    keys = jax.random.split(jax.random.PRNGKey(3), 2)
+    poses, _, _ = jax.jit(
+        jax.vmap(lambda k: settle_scene(k, tpl, cfg, 100))
+    )(keys)
+    p = np.asarray(poses)
+    assert not np.isnan(p).any(), "frame-mode settle produced NaN poses"
+    z = p[:, :, 2, 3]
+    assert z.min() > 0.0, "object below the floor"
+    assert z.max() < 0.6, f"unsettled tower: z={z.max():.2f}"
