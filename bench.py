@@ -152,6 +152,14 @@ def _attempt(label, tpl, cfg, solver_cfg, batch, sub):
         jax.block_until_ready(out.rgb)
         warm = time.perf_counter() - t0
         print(f"bench[{label}]: compile+warm {warm:.1f}s", file=sys.stderr, flush=True)
+        # content guard: a constant image (all-white exposure blowup from NaN
+        # poses, or all-black) means the measurement is of a broken pipeline —
+        # fail the rung instead of recording a meaningless rate
+        rgb0 = np.asarray(out.rgb[0])[..., :3].astype(np.float32)
+        if float(rgb0.std()) < 1.0:
+            raise RuntimeError(
+                f"degenerate output: constant image (mean {rgb0.mean():.1f})"
+            )
     finally:
         signal.alarm(0)
 
@@ -189,6 +197,10 @@ RUNGS = [
     (WORKLOAD, "no_pallas", dict(use_pallas=False, shadow_size=512)),
     (WORKLOAD, "no_shadow_ssao", dict(shadow_mode="off", ssao=False)),
     ("primitives", "primitives_no_shadow", dict(shadow_mode="off", ssao=False)),
+    # last resort when the TPU relay tunnel itself is unreachable (observed:
+    # the host-side relay process dying wedges every attach): a CPU-backend
+    # measurement, loudly labeled — NOT comparable to the per-chip numbers
+    ("primitives", "cpu_fallback_not_tpu", dict(shadow_mode="off", ssao=False)),
 ]
 
 
@@ -203,6 +215,10 @@ def run_rung(idx: int) -> None:
     workload, label, over = RUNGS[idx]
     chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     sub = int(os.environ.get("BENCH_RENDER_SUB", "4"))
+    batch = BATCH
+    if label == "cpu_fallback_not_tpu":
+        batch = min(BATCH, 2)
+        sub = 1
 
     tpl = build_template(workload)
     has_tex = bool((np.asarray(tpl.render_atlas.mat_base_tex) >= 0).any())
@@ -227,7 +243,7 @@ def run_rung(idx: int) -> None:
         solver_cfg = default_config()._replace(
             contact_gen=os.environ.get("BENCH_CONTACT_GEN", "frame")
         )
-        value = _attempt(label, tpl, cfg, solver_cfg, BATCH, sub)
+        value = _attempt(label, tpl, cfg, solver_cfg, batch, sub)
     except _Watchdog:
         print(f"bench[{label}]: WATCHDOG after {WARM_BUDGET}s", file=sys.stderr,
               flush=True)
@@ -240,7 +256,7 @@ def run_rung(idx: int) -> None:
                 "unit": "scenes/s",
                 "vs_baseline": round(value / TARGET_SCENES_PER_SEC, 4),
                 "config": label,
-                "batch": BATCH,
+                "batch": batch,
                 "workload": (
                     "textured: 3x bunny(69k tris)+7 primitives, IBL light map, "
                     "SSAO, textured bg plane, full GT"
@@ -276,6 +292,12 @@ def main():
     budget = WARM_BUDGET * (1 + REPEATS) + 300  # backstop only; the child's
     # own SIGALRM should always fire first (clean exit keeps the relay sane)
     for idx, (workload, label, _) in enumerate(RUNGS):
+        env_i = dict(child_env)
+        if label == "cpu_fallback_not_tpu":
+            # the relay tunnel is gone — run on the CPU backend with the
+            # axon site stripped so the child doesn't dial the dead tunnel
+            env_i["JAX_PLATFORMS"] = "cpu"
+            env_i["PYTHONPATH"] = _REPO
         # a freshly-wedged TPU relay (e.g. a SIGKILLed predecessor) raises
         # FAILED_PRECONDITION on the FIRST device op and recovers within a
         # minute — retry fast startup failures instead of burning the rung
@@ -285,7 +307,7 @@ def main():
                 proc = subprocess.run(
                     [sys.executable, "-u", os.path.abspath(__file__), "--rung", str(idx)],
                     capture_output=True, text=True, timeout=budget,
-                    cwd=_REPO, env=child_env,
+                    cwd=_REPO, env=env_i,
                 )
                 elapsed = time.perf_counter() - t0
             except subprocess.TimeoutExpired:
