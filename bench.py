@@ -289,9 +289,35 @@ def main():
     child_env.pop("JAX_PLATFORMS", None)
     child_env.pop(_PARENT_MARKER, None)
 
+    # Dead-relay short-circuit: when the axon tunnel is down, every child
+    # hangs at interpreter start (sitecustomize register() dials the relay
+    # BEFORE any in-process watchdog exists), so 4 TPU rungs would burn
+    # 4 x the full backstop (~2 h) before the CPU rung runs. One cheap
+    # probe with a tight timeout decides instead. A healthy attach
+    # completes in well under a minute.
+    probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
+    device_ok = False
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=probe_timeout,
+            env=child_env,
+        )
+        device_ok = probe.returncode == 0 and "ok" in probe.stdout
+    except subprocess.TimeoutExpired:
+        pass
+    if not device_ok:
+        print(
+            f"bench: device probe failed within {probe_timeout}s — relay "
+            "down, skipping TPU rungs", file=sys.stderr, flush=True,
+        )
+
     budget = WARM_BUDGET * (1 + REPEATS) + 300  # backstop only; the child's
     # own SIGALRM should always fire first (clean exit keeps the relay sane)
     for idx, (workload, label, _) in enumerate(RUNGS):
+        if not device_ok and label != "cpu_fallback_not_tpu":
+            continue  # relay down: jump straight to the CPU rung
         env_i = dict(child_env)
         if label == "cpu_fallback_not_tpu":
             # the relay tunnel is gone — run on the CPU backend with the

@@ -149,24 +149,25 @@ def rasterize_vertices(
             jnp.zeros((cap + 1,), jnp.int32).at[src].set(arangeF, mode="drop")[:cap]
         )
         ok = jnp.zeros((cap + 1,), bool).at[src].set(mask, mode="drop")[:cap]
+        # (n_slots, cap) orientation: triangle axis minor (full 128 lanes)
         n_slots = span_budget * span_budget
         s = jnp.arange(n_slots, dtype=jnp.int32)
         sx = s % span_budget
         sy = s // span_budget
-        ptx = tx0[ids][:, None] + sx[None, :]
-        pty = ty0[ids][:, None] + sy[None, :]
+        ptx = tx0[ids][None, :] + sx[:, None]
+        pty = ty0[ids][None, :] + sy[:, None]
         pok = (
-            ok[:, None]
-            & (sx[None, :] < span_x[ids][:, None])
-            & (sy[None, :] < span_y[ids][:, None])
+            ok[None, :]
+            & (sx[:, None] < span_x[ids][None, :])
+            & (sy[:, None] < span_y[ids][None, :])
         )
         ptile = pty * tw + ptx
         key = jnp.where(
             pok,
-            ptile.astype(jnp.float32) + znorm[ids][:, None],
+            ptile.astype(jnp.float32) + znorm[ids][None, :],
             jnp.float32(n_tiles + 2),
         ).reshape(-1)
-        tri = jnp.broadcast_to(ids[:, None], (cap, n_slots)).reshape(-1)
+        tri = jnp.broadcast_to(ids[None, :], (n_slots, cap)).reshape(-1)
         return key, tri
 
     small2 = small & (span_x <= 2) & (span_y <= 2)
@@ -443,28 +444,35 @@ def _pixel_pairs(
     n_px = width * height
     n_win = window * window
 
+    # (n_win, F) orientation: the TRIANGLE axis rides the 128-lane minor
+    # dim — an (F, n_win) layout leaves only n_win (4 or 16) of 128 lanes
+    # active for every elementwise op over the pair grid
     win = jnp.arange(n_win, dtype=jnp.int32)
     dx = win % window
     dy = win // window
-    px = x0.astype(jnp.int32)[:, None] + dx[None, :]
-    py = y0.astype(jnp.int32)[:, None] + dy[None, :]
+    px = x0.astype(jnp.int32)[None, :] + dx[:, None]  # (n_win, F)
+    py = y0.astype(jnp.int32)[None, :] + dy[:, None]
     in_image = (px < width) & (py < height)
-    pix_id = py * width + px  # (F, n_win)
+    pix_id = py * width + px  # (n_win, F)
 
     cx = px.astype(jnp.float32) + 0.5
     cy = py.astype(jnp.float32) + 0.5
-    E = (
-        Lf[:, None, :, 0] * cx[:, :, None]
-        + Lf[:, None, :, 1] * cy[:, :, None]
-        + Lf[:, None, :, 2]
-    )  # (F, n_win, 3)
-    inside = jnp.all(E >= 0, axis=-1) | jnp.all(E <= 0, axis=-1)
-    Esum = E.sum(-1)
+    E0 = Lf[None, :, 0, 0] * cx + Lf[None, :, 0, 1] * cy + Lf[None, :, 0, 2]
+    E1 = Lf[None, :, 1, 0] * cx + Lf[None, :, 1, 1] * cy + Lf[None, :, 1, 2]
+    E2 = Lf[None, :, 2, 0] * cx + Lf[None, :, 2, 1] * cy + Lf[None, :, 2, 2]
+    inside = ((E0 >= 0) & (E1 >= 0) & (E2 >= 0)) | (
+        (E0 <= 0) & (E1 <= 0) & (E2 <= 0)
+    )
+    Esum = E0 + E1 + E2
     denom = jnp.where(jnp.abs(Esum) < 1e-20, 1.0, Esum)
-    wp = (E * depth_attr[:, None, :]).sum(-1) / denom  # (F, n_win)
+    wp = (
+        E0 * depth_attr[None, :, 0]
+        + E1 * depth_attr[None, :, 1]
+        + E2 * depth_attr[None, :, 2]
+    ) / denom  # (n_win, F)
 
     covers = (
-        tiny[:, None]
+        tiny[None, :]
         & in_image
         & inside
         & (jnp.abs(Esum) > 1e-20)
@@ -481,7 +489,7 @@ def _pixel_pairs(
     pid = jnp.where(covers, pix_id, n_px).reshape(-1)  # n_px = dump slot
     wflat = jnp.where(covers, wp, jnp.inf).reshape(-1)
     tids = jnp.arange(F, dtype=jnp.int32) if tri_ids is None else tri_ids
-    tid_pairs = jnp.broadcast_to(tids[:, None], (F, n_win)).reshape(-1)
+    tid_pairs = jnp.broadcast_to(tids[None, :], (n_win, F)).reshape(-1)
     return pid, wflat, tid_pairs
 
 

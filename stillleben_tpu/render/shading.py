@@ -102,7 +102,18 @@ def sample_combo_mip_planar(
     ``stack``: (NC, MIP_TOTAL, C) flat-packed mip chain (atlas layout);
     tex_id/u/v/lod are (H, W) planes; repeat wrapping. Trilinear = two
     bilinear taps + lerp, the software analogue of the reference's
-    GL mip-mapped SamplerFilter::Linear (context.cpp:617-649)."""
+    GL mip-mapped SamplerFilter::Linear (context.cpp:617-649).
+
+    Two interchangeable evaluation orders (SL_TEX_SAMPLER env):
+    - ``packed`` (default): all taps concatenated into one (N, taps*C)
+      array; the filter is a weight multiply + tree reduce over tap
+      blocks. Every elementwise op runs with a 64/128-wide minor dim.
+    - ``hwc``: classic per-tap bilinear lerp over (H, W, C) arrays, whose
+      16-channel minor dim uses 16/128 VPU lanes per op."""
+    import os
+
+    if os.environ.get("SL_TEX_SAMPLER", "packed") == "packed":
+        return _sample_combo_mip_packed(stack, tex_id, u, v, lod, trilinear)
     from .atlas import MIP_OFFSETS, MIP_SIZES, MIP_TOTAL, N_MIPS
 
     NC, C = stack.shape[0], stack.shape[-1]
@@ -144,6 +155,75 @@ def sample_combo_mip_planar(
     if trilinear:
         out = out * (1.0 - frac) + tap(jnp.minimum(l0 + 1, N_MIPS - 1)) * frac
     return jnp.moveaxis(out, -1, 0)  # (C, H, W)
+
+
+def _sample_combo_mip_packed(
+    stack: jax.Array,
+    tex_id: jax.Array,
+    u: jax.Array,
+    v: jax.Array,
+    lod: jax.Array,
+    trilinear: bool = True,
+):
+    """Packed-tap evaluation: one (N, taps*C) array, weight multiply, tree
+    reduce. With C=16 and 8 trilinear taps the working minor dim is 128 —
+    every VPU lane active — versus 16/128 for the per-tap (H, W, C) lerps.
+    Bitwise semantics match sample_combo_mip_planar (same taps, weights
+    algebraically regrouped: w_tap = lvl_weight * bilinear_weight)."""
+    from .atlas import MIP_OFFSETS, MIP_SIZES, MIP_TOTAL, N_MIPS
+
+    NC, C = stack.shape[0], stack.shape[-1]
+    flat = stack.reshape(NC * MIP_TOTAL, C)
+    sizes = jnp.asarray(MIP_SIZES, jnp.int32)
+    offs = jnp.asarray(MIP_OFFSETS, jnp.int32)
+    lod = jnp.clip(lod, 0.0, N_MIPS - 1.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    frac = lod - l0.astype(jnp.float32)  # (H, W)
+    base = jnp.maximum(tex_id, 0) * MIP_TOTAL
+    H, W = u.shape
+    N = H * W
+
+    rows, wts = [], []
+
+    def level(li, lw):
+        S = sizes[li]  # (H, W) i32 per-pixel level size
+        Sf = S.astype(jnp.float32)
+        off = offs[li]
+        tu = u * Sf - 0.5
+        tv = v * Sf - 0.5
+        u0 = jnp.floor(tu)
+        v0 = jnp.floor(tv)
+        fu = tu - u0
+        fv = tv - v0
+        u0i = jnp.mod(u0.astype(jnp.int32), S)
+        u1i = jnp.mod(u0i + 1, S)
+        v0i = jnp.mod(v0.astype(jnp.int32), S)
+        v1i = jnp.mod(v0i + 1, S)
+        b = base + off
+        rows.extend(
+            [b + v0i * S + u0i, b + v0i * S + u1i,
+             b + v1i * S + u0i, b + v1i * S + u1i]
+        )
+        gu, gv = 1.0 - fu, 1.0 - fv
+        wts.extend([lw * gu * gv, lw * fu * gv, lw * gu * fv, lw * fu * fv])
+
+    if trilinear:
+        level(l0, 1.0 - frac)
+        level(jnp.minimum(l0 + 1, N_MIPS - 1), frac)
+    else:
+        level(l0, jnp.ones_like(frac))
+
+    T = len(rows)  # 4 or 8
+    g = jnp.concatenate(
+        [flat[r.reshape(N)] for r in rows], axis=-1
+    )  # (N, T*C): tap-major blocks of C
+    w = jnp.stack([wt.reshape(N) for wt in wts], axis=-1)  # (N, T)
+    wfull = jnp.broadcast_to(w[:, :, None], (N, T, C)).reshape(N, T * C)
+    acc = g * wfull
+    while acc.shape[1] > C:  # pairwise tap-block sums, full-width adds
+        half = acc.shape[1] // 2
+        acc = acc[:, :half] + acc[:, half:]
+    return acc.T.reshape(C, H, W)
 
 
 def sample_sticker_planar(

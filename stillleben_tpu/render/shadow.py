@@ -44,24 +44,27 @@ def _splat_tiny_depth(
     x0 = jnp.floor(p[..., 0].min(-1)).astype(jnp.int32)
     y0 = jnp.floor(p[..., 1].min(-1)).astype(jnp.int32)
 
+    # (n_win, F) orientation: triangle axis minor (full 128 lanes)
     Lf = _edge_lines(p)  # (F, 3edges, 3coefs)
     win = jnp.arange(window * window, dtype=jnp.int32)
-    px = x0[:, None] + (win % window)[None, :]
-    py = y0[:, None] + (win // window)[None, :]
+    px = x0[None, :] + (win % window)[:, None]  # (n_win, F)
+    py = y0[None, :] + (win // window)[:, None]
     cx = px.astype(jnp.float32) + 0.5
     cy = py.astype(jnp.float32) + 0.5
-    E = (
-        Lf[:, None, :, 0] * cx[:, :, None]
-        + Lf[:, None, :, 1] * cy[:, :, None]
-        + Lf[:, None, :, 2]
-    )  # (F, 4, 3)
-    inside = jnp.all(E >= 0, axis=-1) | jnp.all(E <= 0, axis=-1)
-    Esum = E.sum(-1)
+    E0 = Lf[None, :, 0, 0] * cx + Lf[None, :, 0, 1] * cy + Lf[None, :, 0, 2]
+    E1 = Lf[None, :, 1, 0] * cx + Lf[None, :, 1, 1] * cy + Lf[None, :, 1, 2]
+    E2 = Lf[None, :, 2, 0] * cx + Lf[None, :, 2, 1] * cy + Lf[None, :, 2, 2]
+    inside = ((E0 >= 0) & (E1 >= 0) & (E2 >= 0)) | (
+        (E0 <= 0) & (E1 <= 0) & (E2 <= 0)
+    )
+    Esum = E0 + E1 + E2
     denom = jnp.where(jnp.abs(Esum) < 1e-20, 1.0, Esum)
-    wp = (E * zf[:, None, :]).sum(-1) / denom  # (F, 4)
+    wp = (
+        E0 * zf[None, :, 0] + E1 * zf[None, :, 1] + E2 * zf[None, :, 2]
+    ) / denom  # (n_win, F)
 
     covers = (
-        tiny[:, None]
+        tiny[None, :]
         & inside
         & (jnp.abs(Esum) > 1e-20)
         & (wp > 0.0)

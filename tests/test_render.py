@@ -452,6 +452,37 @@ def test_mip_sampler_levels():
     np.testing.assert_allclose(mid, 0.5 * (a + b), atol=1e-5)
 
 
+def test_mip_sampler_packed_matches_hwc(monkeypatch):
+    """The packed-tap evaluation order (default, full-lane) agrees with the
+    classic per-tap HWC lerp to float rounding — same taps, regrouped
+    weights."""
+    import jax.numpy as jnp
+
+    from stillleben_tpu.render import shading
+    from stillleben_tpu.render.atlas import TEXTURE_SIZE, _mip_chain_packed
+
+    rng = np.random.default_rng(3)
+    stack = rng.random((2, TEXTURE_SIZE, TEXTURE_SIZE, 4), np.float32)
+    packed = jnp.asarray(_mip_chain_packed(stack))
+
+    n = 24
+    u = jnp.asarray(rng.random((n, n), np.float32) * 2.0)  # exercises wrap
+    v = jnp.asarray(rng.random((n, n), np.float32) * 2.0)
+    tid = jnp.asarray(rng.integers(0, 2, (n, n)), jnp.int32)
+    lod = jnp.asarray(rng.random((n, n), np.float32) * 7.5)
+
+    for trilinear in (True, False):
+        got = np.asarray(
+            shading._sample_combo_mip_packed(packed, tid, u, v, lod, trilinear)
+        )
+        monkeypatch.setenv("SL_TEX_SAMPLER", "hwc")
+        want = np.asarray(
+            shading.sample_combo_mip_planar(packed, tid, u, v, lod, trilinear)
+        )
+        monkeypatch.delenv("SL_TEX_SAMPLER")
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+
 def test_bf16_shading_close_to_f32(bunny_scene):
     """bf16 lighting math (TPU default) stays within u8 quantization noise of
     the f32 reference (GT buffers are f32 in both)."""
