@@ -52,9 +52,21 @@ def initialize(
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
-    on_tpu_pod = bool(os.environ.get("TPU_WORKER_HOSTNAMES"))
-    if coordinator_address is None and not on_tpu_pod:
+    # Pod autodetect: only when MORE THAN ONE worker hostname is listed.
+    # Single-entry values (e.g. "localhost", which TPU runtime shims set
+    # even on one-host attachments) are single-process — initializing
+    # jax.distributed there fails or hangs waiting for peers.
+    workers = [
+        w for w in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if w
+    ]
+    if coordinator_address is None and len(workers) <= 1:
         return False  # single host, nothing to coordinate
+    from jax._src import xla_bridge as _xb
+
+    if _xb.backends_are_initialized():
+        # too late to coordinate (a backend is live); treat as the
+        # single-process fallback rather than raising mid-pipeline
+        return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

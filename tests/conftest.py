@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The axon sitecustomize imports jax at interpreter start, which bakes
+# JAX_PLATFORMS=axon into the config BEFORE this file's env-set runs.
+# config.update overrides the baked value either way, so the suite can
+# never fall through to a (possibly dead) TPU relay attach.
+jax.config.update("jax_platforms", "cpu")
+
 # Geometry math in tests assumes f32-accurate matmuls.
 jax.config.update("jax_default_matmul_precision", "highest")
 
