@@ -4,7 +4,7 @@ API parity with the reference ``sl::Mesh`` / python binding
 (reference src/mesh.cpp, python/src/py_mesh.cpp):
 
 - ``Mesh(filename, visual=True, physics=True, flags=0)`` — importer chosen by
-  filename (``primitive://`` builtin; .gltf/.glb, .obj/.ply, .stl/.off/.dae;
+  filename (``primitive://`` builtin; .gltf/.glb, .obj/.ply, .stl/.off/.dae/.fbx;
   reference src/mesh.cpp:203-240).
 - ``Mesh.load_threaded(filenames)`` — thread-pool import
   (reference src/mesh.cpp:923-999).
@@ -106,10 +106,14 @@ class Mesh:
                 from .objfile import load_dae
 
                 doc = load_dae(fn)
+            elif ext == ".fbx":
+                from .fbxfile import load_fbx
+
+                doc = load_fbx(fn)
             else:
                 raise ValueError(
                     f"Unsupported mesh format '{ext}' (supported: .gltf .glb "
-                    f".obj .ply .stl .off .dae, primitive://)"
+                    f".obj .ply .stl .off .dae .fbx, primitive://)"
                 )
         self._consolidated = consolidate(doc, name=fn)
         self._update_raw_bbox()

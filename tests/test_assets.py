@@ -274,3 +274,223 @@ def test_load_dae(tmp_path):
     assert abs(float(c.positions[:, 0].min()) - 2.0) < 1e-6
     gm = c.materials[0]
     np.testing.assert_allclose(gm.base_color, [1, 0, 0, 1], atol=1e-6)
+
+
+def _fbx_prop_L(v):
+    import struct
+
+    return b"L" + struct.pack("<q", v)
+
+
+def _fbx_prop_S(s):
+    import struct
+
+    b = s.encode()
+    return b"S" + struct.pack("<I", len(b)) + b
+
+
+def _fbx_prop_D(v):
+    import struct
+
+    return b"D" + struct.pack("<d", v)
+
+
+def _fbx_prop_arr(tag, arr, compress=False):
+    import struct
+    import zlib
+
+    dt = {"d": np.float64, "i": np.int32}[tag]
+    raw = np.asarray(arr, dt).tobytes()
+    if compress:
+        comp = zlib.compress(raw)
+        return tag.encode() + struct.pack("<III", len(arr), 1, len(comp)) + comp
+    return tag.encode() + struct.pack("<III", len(arr), 0, len(raw)) + raw
+
+
+class _FbxWriter:
+    """Just enough of a binary FBX 7.4 serializer to round-trip the loader
+    (u32 node records, absolute end offsets, 13-byte null terminators)."""
+
+    NULL = b"\x00" * 13
+
+    def node(self, name, props=(), children=()):
+        return (name.encode(), list(props), list(children))
+
+    def _ser(self, node, base):
+        import struct
+
+        name, props, children = node
+        pb = b"".join(props)
+        body = pb
+        hdr = 13 + len(name)
+        kids = b""
+        if children:
+            pos = base + hdr + len(pb)
+            for c in children:
+                s = self._ser(c, pos)
+                kids += s
+                pos += len(s)
+            kids += self.NULL
+        end = base + hdr + len(pb) + len(kids)
+        return (
+            struct.pack("<IIIB", end, len(props), len(pb), len(name))
+            + name
+            + body
+            + kids
+        )
+
+    def dumps(self, top_nodes):
+        import struct
+
+        out = b"Kaydara FBX Binary  \x00\x1a\x00" + struct.pack("<I", 7400)
+        for n in top_nodes:
+            out += self._ser(n, len(out))
+        return out + self.NULL
+
+
+def test_load_fbx_binary(tmp_path):
+    """Binary FBX import (the biggest Assimp-breadth format, reference
+    src/mesh.cpp:203-240): quads fan-triangulated, ByPolygonVertex normals,
+    IndexToDirect UVs, ByPolygon material split, Model TRS transform,
+    zlib-compressed arrays."""
+    import stillleben_tpu as sl
+    from stillleben_tpu.assets.fbxfile import load_fbx
+
+    w = _FbxWriter()
+    # unit cube (+-0.5), 6 quads
+    P = np.array(
+        [[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5) for z in (-0.5, 0.5)],
+        np.float64,
+    )  # index bits: x*4 + y*2 + z
+    quads = [
+        [0, 1, 3, 2],  # -x
+        [4, 6, 7, 5],  # +x
+        [0, 4, 5, 1],  # -y
+        [2, 3, 7, 6],  # +y
+        [0, 2, 6, 4],  # -z
+        [1, 5, 7, 3],  # +z
+    ]
+    pvi = []
+    for q in quads:
+        pvi.extend(q[:3] + [~q[3]])
+    qn = [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0), (0, 0, -1), (0, 0, 1)]
+    normals = np.repeat(np.array(qn, np.float64), 4, axis=0).reshape(-1)
+    uv_table = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float64)
+    uv_index = np.tile(np.arange(4), 6)
+
+    geo = w.node(
+        "Geometry",
+        [_fbx_prop_L(100), _fbx_prop_S("Geometry::cube\x00\x01"), _fbx_prop_S("Mesh")],
+        [
+            w.node("Vertices", [_fbx_prop_arr("d", P.reshape(-1), compress=True)]),
+            w.node("PolygonVertexIndex", [_fbx_prop_arr("i", pvi)]),
+            w.node(
+                "LayerElementNormal",
+                [_fbx_prop_L(0)],
+                [
+                    w.node("MappingInformationType", [_fbx_prop_S("ByPolygonVertex")]),
+                    w.node("ReferenceInformationType", [_fbx_prop_S("Direct")]),
+                    w.node("Normals", [_fbx_prop_arr("d", normals)]),
+                ],
+            ),
+            w.node(
+                "LayerElementUV",
+                [_fbx_prop_L(0)],
+                [
+                    w.node("MappingInformationType", [_fbx_prop_S("ByPolygonVertex")]),
+                    w.node("ReferenceInformationType", [_fbx_prop_S("IndexToDirect")]),
+                    w.node("UV", [_fbx_prop_arr("d", uv_table.reshape(-1))]),
+                    w.node("UVIndex", [_fbx_prop_arr("i", uv_index)]),
+                ],
+            ),
+            w.node(
+                "LayerElementMaterial",
+                [_fbx_prop_L(0)],
+                [
+                    w.node("MappingInformationType", [_fbx_prop_S("ByPolygon")]),
+                    w.node("ReferenceInformationType", [_fbx_prop_S("IndexToDirect")]),
+                    w.node("Materials", [_fbx_prop_arr("i", [0, 0, 0, 1, 1, 1])]),
+                ],
+            ),
+        ],
+    )
+
+    def p70(name, ptype, *vals):
+        return w.node(
+            "P",
+            [_fbx_prop_S(name), _fbx_prop_S(ptype), _fbx_prop_S(""), _fbx_prop_S("A")]
+            + [_fbx_prop_D(v) for v in vals],
+        )
+
+    model = w.node(
+        "Model",
+        [_fbx_prop_L(200), _fbx_prop_S("Model::cube\x00\x01"), _fbx_prop_S("Mesh")],
+        [
+            w.node(
+                "Properties70",
+                [],
+                [
+                    p70("Lcl Translation", "Lcl Translation", 1.0, 2.0, 3.0),
+                    p70("Lcl Rotation", "Lcl Rotation", 0.0, 0.0, 90.0),
+                    p70("Lcl Scaling", "Lcl Scaling", 2.0, 2.0, 2.0),
+                ],
+            )
+        ],
+    )
+    mat_red = w.node(
+        "Material",
+        [_fbx_prop_L(300), _fbx_prop_S("Material::red\x00\x01"), _fbx_prop_S("")],
+        [
+            w.node(
+                "Properties70", [], [p70("DiffuseColor", "Color", 0.8, 0.1, 0.2)]
+            )
+        ],
+    )
+    mat_blue = w.node(
+        "Material",
+        [_fbx_prop_L(301), _fbx_prop_S("Material::blue\x00\x01"), _fbx_prop_S("")],
+        [
+            w.node(
+                "Properties70", [], [p70("DiffuseColor", "Color", 0.1, 0.2, 0.9)]
+            )
+        ],
+    )
+
+    def conn(child, parent):
+        return w.node("C", [_fbx_prop_S("OO"), _fbx_prop_L(child), _fbx_prop_L(parent)])
+
+    data = w.dumps(
+        [
+            w.node("Objects", [], [geo, model, mat_red, mat_blue]),
+            w.node(
+                "Connections",
+                [],
+                [conn(100, 200), conn(300, 200), conn(301, 200), conn(200, 0)],
+            ),
+        ]
+    )
+    path = tmp_path / "cube.fbx"
+    path.write_bytes(data)
+
+    doc = load_fbx(str(path))
+    assert len(doc.meshes) == 1
+    prims = doc.meshes[0]
+    assert len(prims) == 2  # split by the two material slots
+    assert sum(p.indices.shape[0] for p in prims) == 12  # 6 quads fanned
+    by_mat = {p.material: p for p in prims}
+    np.testing.assert_allclose(
+        doc.materials[prims[0].material].base_color, [0.8, 0.1, 0.2, 1], atol=1e-6
+    )
+    assert {doc.materials[m].name for m in by_mat} == {"Material::red", "Material::blue"}
+    for p in prims:
+        assert p.normals is not None and p.texcoords is not None
+        np.testing.assert_allclose(
+            np.linalg.norm(p.normals, axis=1), 1.0, atol=1e-6
+        )
+
+    # full facade: consolidation applies the Model TRS
+    mesh = sl.Mesh(str(path), physics=False)
+    c = mesh.consolidated
+    # +-0.5 cube, scale 2 -> +-1, Rz90 keeps the box, translate (1,2,3)
+    np.testing.assert_allclose(c.positions.min(0), [0, 1, 2], atol=1e-5)
+    np.testing.assert_allclose(c.positions.max(0), [2, 3, 4], atol=1e-5)
