@@ -32,64 +32,69 @@ PIX = TILE * TILE
 FIELDS = 16  # 15 line coefficients [L0|L1|L2|Lsum|Lz] x (x,y,c) + 1 pad row
 
 
-def _kernel(off_ref, g_ref, ids_ref, md_ref, w_ref, t_ref, *, near, far, tw,
-            tile):
+def _kernel(off_ref, occ_ref, g_ref, ids_ref, md_ref, w_ref, t_ref, *, near,
+            far, tw, tile):
     pix_n = tile * tile
     i = pl.program_id(0) + off_ref[0]  # global tile id (slab offset in SMEM)
     j = pl.program_id(1)
 
-    G = g_ref[0, 0]  # (FIELDS, C)
-    # per-tile pixel centers from the grid index (no Pmat input); Mosaic only
-    # has integer iota, so index math stays i32 until the final convert
-    pix = jax.lax.broadcasted_iota(jnp.int32, (1, pix_n), 1)
-    tile_ox = jnp.float32(tile) * jnp.float32(jax.lax.rem(i, tw))
-    tile_oy = jnp.float32(tile) * jnp.float32(jax.lax.div(i, tw))
-    X = tile_ox + jax.lax.rem(pix, tile).astype(jnp.float32) + 0.5  # (1, pix_n)
-    Y = tile_oy + jax.lax.div(pix, tile).astype(jnp.float32) + 0.5
-
-    def edge(g):  # E_g(p) = lx*x + ly*y + lc as a rank-1 broadcast (C, PIX)
-        lx = G[3 * g + 0][:, None]
-        ly = G[3 * g + 1][:, None]
-        lc = G[3 * g + 2][:, None]
-        return lx * X + ly * Y + lc
-
-    E0, E1, E2, Esum, Ez = edge(0), edge(1), edge(2), edge(3), edge(4)
-
-    inside = ((E0 >= 0) & (E1 >= 0) & (E2 >= 0)) | (
-        (E0 <= 0) & (E1 <= 0) & (E2 <= 0)
-    )
-    denom = jnp.where(jnp.abs(Esum) < 1e-20, 1.0, Esum)
-    wp = Ez / denom  # (C, PIX)
-
-    ids = ids_ref[0, 0, 0]  # (C,) i32; negative = masked slot
-    md = md_ref[0, 0]  # (PIX,)
-    ids_col = ids[:, None]  # broadcast the 32-bit value FIRST (Mosaic can't
-    # insert a minor dim on 1-bit types), then compare
-    ok = (
-        inside
-        & (jnp.abs(Esum) > 1e-20)
-        & (wp > near)
-        & (wp <= far)
-        & (wp > md[None, :] + 1e-5)
-        & (ids_col >= 0)
-    )
     inf = jnp.float32(jnp.inf)
-    score = jnp.where(ok, wp, inf)  # (C, PIX)
-    bw = jnp.min(score, axis=0)  # (PIX,)
-    # winner id without a gather: min id among score == bw
-    big_id = jnp.int32(2**30)
-    bt = jnp.min(
-        jnp.where((score == bw[None, :]) & ok, ids_col, big_id), axis=0
-    )
-    bt = jnp.where(bw < inf, bt, -1)
 
     @pl.when(j == 0)
     def _init():
-        w_ref[0, 0] = bw
-        t_ref[0, 0] = bt
+        w_ref[0, 0] = jnp.full((pix_n,), inf, jnp.float32)
+        t_ref[0, 0] = jnp.full((pix_n,), -1, jnp.int32)
 
-    @pl.when(j > 0)
-    def _merge():
+    # Occupancy skip: most (tile, chunk) cells in sparse regions carry only
+    # masked (-1) slots — the whole edge/z-buffer evaluation is predicated
+    # off for them (the splat classes empty nearly every shadow-pass tile).
+    @pl.when(occ_ref[0, 0] > 0)
+    def _work():
+        G = g_ref[0, 0]  # (FIELDS, C)
+        # per-tile pixel centers from the grid index (no Pmat input); Mosaic
+        # only has integer iota, so index math stays i32 until the final
+        # convert
+        pix = jax.lax.broadcasted_iota(jnp.int32, (1, pix_n), 1)
+        tile_ox = jnp.float32(tile) * jnp.float32(jax.lax.rem(i, tw))
+        tile_oy = jnp.float32(tile) * jnp.float32(jax.lax.div(i, tw))
+        X = tile_ox + jax.lax.rem(pix, tile).astype(jnp.float32) + 0.5
+        Y = tile_oy + jax.lax.div(pix, tile).astype(jnp.float32) + 0.5
+
+        def edge(g):  # E_g(p) = lx*x + ly*y + lc, rank-1 broadcast (C, PIX)
+            lx = G[3 * g + 0][:, None]
+            ly = G[3 * g + 1][:, None]
+            lc = G[3 * g + 2][:, None]
+            return lx * X + ly * Y + lc
+
+        E0, E1, E2, Esum, Ez = edge(0), edge(1), edge(2), edge(3), edge(4)
+
+        inside = ((E0 >= 0) & (E1 >= 0) & (E2 >= 0)) | (
+            (E0 <= 0) & (E1 <= 0) & (E2 <= 0)
+        )
+        denom = jnp.where(jnp.abs(Esum) < 1e-20, 1.0, Esum)
+        wp = Ez / denom  # (C, PIX)
+
+        ids = ids_ref[0, 0, 0]  # (C,) i32; negative = masked slot
+        md = md_ref[0, 0]  # (PIX,)
+        ids_col = ids[:, None]  # broadcast the 32-bit value FIRST (Mosaic
+        # can't insert a minor dim on 1-bit types), then compare
+        ok = (
+            inside
+            & (jnp.abs(Esum) > 1e-20)
+            & (wp > near)
+            & (wp <= far)
+            & (wp > md[None, :] + 1e-5)
+            & (ids_col >= 0)
+        )
+        score = jnp.where(ok, wp, inf)  # (C, PIX)
+        bw = jnp.min(score, axis=0)  # (PIX,)
+        # winner id without a gather: min id among score == bw
+        big_id = jnp.int32(2**30)
+        bt = jnp.min(
+            jnp.where((score == bw[None, :]) & ok, ids_col, big_id), axis=0
+        )
+        bt = jnp.where(bw < inf, bt, -1)
+
         better = bw < w_ref[0, 0]
         t_ref[0, 0] = jnp.where(better, bt, t_ref[0, 0])
         w_ref[0, 0] = jnp.where(better, bw, w_ref[0, 0])
@@ -115,6 +120,8 @@ def fine_raster_pallas(
     kernel = functools.partial(_kernel, near=near, far=far, tw=tw, tile=tile)
     if tile_offset is None:
         tile_offset = jnp.zeros((1,), jnp.int32)
+    # per-cell occupancy for the kernel's predication (any unmasked slot?)
+    occ = (ids >= 0).any(-1).astype(jnp.int32)  # (n_tiles, n_chunks)
     # TPU block constraints: the LAST TWO dims of each block must be
     # (divisible by 8, divisible by 128) or equal to the array dims — give
     # every operand a trailing singleton "row" dim where needed.
@@ -125,6 +132,8 @@ def fine_raster_pallas(
         grid=(n_tiles, n_chunks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tile_offset scalar
+            pl.BlockSpec((1, 1), lambda i, j: (i, j),
+                         memory_space=pltpu.SMEM),  # occupancy flag
             pl.BlockSpec((1, 1, FIELDS, chunk), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, chunk), lambda i, j: (i, j, 0, 0),
@@ -141,5 +150,5 @@ def fine_raster_pallas(
             jax.ShapeDtypeStruct((n_tiles, 1, PIX), jnp.int32),
         ),
         interpret=interpret,
-    )(tile_offset, G, ids4, md3)
+    )(tile_offset, occ, G, ids4, md3)
     return w[:, 0], t[:, 0]
