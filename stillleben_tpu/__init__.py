@@ -53,6 +53,7 @@ _LAZY = {
     "view": (".viewer", "view"),
     "Viewer": (".viewer", "Viewer"),
     "render_debug_image": (".debug", "render_debug_image"),
+    "generate_stream": (".parallel.batch", "generate_stream"),
     # submodules exposed as attributes
     "camera_model": (".camera_model", None),
     "diff": (".diff", None),

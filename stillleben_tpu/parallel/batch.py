@@ -288,3 +288,63 @@ def _sharded_batch_fn(mesh):
         static_argnames=("cfg", "solver_cfg", "settle_iterations", "render_sub_batch"),
         out_shardings=ns,
     )
+
+
+def generate_stream(
+    tpl: SceneTemplate,
+    cfg: FrameConfig,
+    solver_cfg: SolverConfig,
+    *,
+    batch: int,
+    n_batches: int | None = None,
+    seed: int = 0,
+    mesh: "jax.sharding.Mesh | None" = None,
+    render_sub_batch: int = 8,
+    settle_iterations: int = tt.MAX_ITERATIONS,
+    prefetch: int = 2,
+):
+    """Host-pipelined datagen stream: yields HOST (numpy) RenderedFrame
+    batches while the device renders ahead.
+
+    The reference's production loop is render -> readback -> ImageSaver per
+    scene (examples/ycb.py:34-84 with the threaded saver of
+    src/image_saver.cpp); its GPU idles during every readback/encode. Here
+    up to ``prefetch`` batches are dispatched ahead (JAX dispatch is async),
+    so the device computes batch k+1..k+prefetch while the host fetches and
+    consumes batch k — steady-state throughput is max(device, host) rather
+    than their sum.
+
+    ``n_batches=None`` streams forever (the caller breaks). With ``mesh``
+    the scene axis is sharded over the mesh (generate_batch_sharded);
+    fetching then gathers each chip's scenes to host.
+    """
+    import itertools
+    from collections import deque
+
+    import numpy as np
+
+    def _fetch(frames):
+        return jax.tree.map(np.asarray, frames)
+
+    key = jax.random.PRNGKey(seed)
+    counter = range(n_batches) if n_batches is not None else itertools.count()
+    pending: deque = deque()
+    for _ in counter:
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, batch)
+        if mesh is not None:
+            out = generate_batch_sharded(
+                keys, tpl, cfg, solver_cfg, mesh=mesh,
+                settle_iterations=settle_iterations,
+            )
+        else:
+            out = generate_batch(
+                keys, tpl, cfg, solver_cfg,
+                settle_iterations=settle_iterations,
+                render_sub_batch=render_sub_batch,
+            )
+        pending.append(out)
+        if len(pending) > prefetch:
+            yield _fetch(pending.popleft())
+    while pending:
+        yield _fetch(pending.popleft())

@@ -181,3 +181,38 @@ def test_dryrun_train_step_budget():
     assert np.isfinite(float(loss))
     assert {s.data.shape[0] for s in new_delta.addressable_shards} == {1}
     assert elapsed < 120, f"dryrun train step took {elapsed:.0f}s (budget 120s)"
+
+
+def test_generate_stream_overlap(template, tmp_path):
+    """Host-pipelined stream: yields host numpy batches, distinct content
+    per batch, works sharded over the mesh, feeds ImageSaver."""
+    from stillleben_tpu.parallel.batch import generate_stream
+
+    got = list(
+        generate_stream(
+            template, CFG, default_config(), batch=4, n_batches=3, seed=5,
+            settle_iterations=5, render_sub_batch=2,
+        )
+    )
+    assert len(got) == 3
+    insts = [f.instance_index for f in got]
+    for inst in insts:
+        assert isinstance(inst, np.ndarray) and inst.shape == (4, 24, 24)
+        assert (inst > 0).sum() > 5
+    assert not np.array_equal(insts[0], insts[1])  # fresh keys per batch
+
+    # sharded variant: scene axis over the 8-device mesh
+    mesh = make_device_mesh()
+    (frames,) = list(
+        generate_stream(
+            template, CFG, default_config(), batch=8, n_batches=1, mesh=mesh,
+            settle_iterations=5,
+        )
+    )
+    assert frames.rgb.shape == (8, 24, 24, 4)
+
+    # the host side of the pipeline: threaded saver consumes a batch
+    with sl.ImageSaver(2) as saver:
+        for i, img in enumerate(got[0].rgb):
+            saver.save(img, str(tmp_path / f"rgb_{i:04d}.png"))
+    assert len(list(tmp_path.glob("rgb_*.png"))) == 4
