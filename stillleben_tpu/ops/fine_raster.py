@@ -14,8 +14,20 @@ of 3 (2% utilization). Edge values are instead computed as rank-1 broadcasts
 on the VPU (lx (x) X + ly (x) Y + lc), and the per-tile pixel coordinates are
 recomputed from the grid index — no pixel-matrix input at all.
 
-The grid's minor dimension walks the chunks of one tile sequentially, so the
-output blocks act as accumulators (the standard revisiting-output pattern).
+Two grid layouts:
+
+- ``tiles_per_cell=1`` (default): grid (n_tiles, n_chunks); the minor grid
+  dim walks one tile's chunks sequentially so the output blocks act as
+  accumulators (the standard revisiting-output pattern).
+- ``tiles_per_cell=TPG>1``: grid (n_tiles/TPG, n_chunks); each cell DMAs a
+  TPG-tile slab and loops the tiles in-kernel. Per-scene cell counts drop
+  TPG-fold — at 640x480 the 1200-tile grid makes per-cell DMA/sync overhead
+  (not the 44M pair evaluations) the stage's wall-clock, so fewer, fatter
+  cells are the lever.
+
+Both layouts skip fully-masked (tile, chunk) cells via a prefetched
+occupancy flag (sparse regions; the splat classes empty nearly every
+shadow-pass tile).
 """
 
 from __future__ import annotations
@@ -32,17 +44,66 @@ PIX = TILE * TILE
 FIELDS = 16  # 15 line coefficients [L0|L1|L2|Lsum|Lz] x (x,y,c) + 1 pad row
 
 
+def _eval_chunk(G, ids, md, i, *, near, far, tw, tile):
+    """One (tile, chunk) z-buffer evaluation.
+
+    G (FIELDS, C) line table, ids (C,) triangle ids (-1 masked), md (PIX,)
+    depth-peel floor, i traced global tile id. Returns (bw, bt): per-pixel
+    best depth (inf = none) and winner id (-1)."""
+    pix_n = tile * tile
+    # per-tile pixel centers from the grid index (no Pmat input); Mosaic only
+    # has integer iota, so index math stays i32 until the final convert
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, pix_n), 1)
+    tile_ox = jnp.float32(tile) * jnp.float32(jax.lax.rem(i, tw))
+    tile_oy = jnp.float32(tile) * jnp.float32(jax.lax.div(i, tw))
+    X = tile_ox + jax.lax.rem(pix, tile).astype(jnp.float32) + 0.5  # (1, pix_n)
+    Y = tile_oy + jax.lax.div(pix, tile).astype(jnp.float32) + 0.5
+
+    def edge(g):  # E_g(p) = lx*x + ly*y + lc as a rank-1 broadcast (C, PIX)
+        lx = G[3 * g + 0][:, None]
+        ly = G[3 * g + 1][:, None]
+        lc = G[3 * g + 2][:, None]
+        return lx * X + ly * Y + lc
+
+    E0, E1, E2, Esum, Ez = edge(0), edge(1), edge(2), edge(3), edge(4)
+
+    inside = ((E0 >= 0) & (E1 >= 0) & (E2 >= 0)) | (
+        (E0 <= 0) & (E1 <= 0) & (E2 <= 0)
+    )
+    denom = jnp.where(jnp.abs(Esum) < 1e-20, 1.0, Esum)
+    wp = Ez / denom  # (C, PIX)
+
+    ids_col = ids[:, None]  # broadcast the 32-bit value FIRST (Mosaic can't
+    # insert a minor dim on 1-bit types), then compare
+    ok = (
+        inside
+        & (jnp.abs(Esum) > 1e-20)
+        & (wp > near)
+        & (wp <= far)
+        & (wp > md[None, :] + 1e-5)
+        & (ids_col >= 0)
+    )
+    inf = jnp.float32(jnp.inf)
+    score = jnp.where(ok, wp, inf)  # (C, PIX)
+    bw = jnp.min(score, axis=0)  # (PIX,)
+    # winner id without a gather: min id among score == bw
+    big_id = jnp.int32(2**30)
+    bt = jnp.min(
+        jnp.where((score == bw[None, :]) & ok, ids_col, big_id), axis=0
+    )
+    bt = jnp.where(bw < inf, bt, -1)
+    return bw, bt
+
+
 def _kernel(off_ref, occ_ref, g_ref, ids_ref, md_ref, w_ref, t_ref, *, near,
             far, tw, tile):
     pix_n = tile * tile
     i = pl.program_id(0) + off_ref[0]  # global tile id (slab offset in SMEM)
     j = pl.program_id(1)
 
-    inf = jnp.float32(jnp.inf)
-
     @pl.when(j == 0)
     def _init():
-        w_ref[0, 0] = jnp.full((pix_n,), inf, jnp.float32)
+        w_ref[0, 0] = jnp.full((pix_n,), jnp.inf, jnp.float32)
         t_ref[0, 0] = jnp.full((pix_n,), -1, jnp.int32)
 
     # Occupancy skip: most (tile, chunk) cells in sparse regions carry only
@@ -50,58 +111,44 @@ def _kernel(off_ref, occ_ref, g_ref, ids_ref, md_ref, w_ref, t_ref, *, near,
     # off for them (the splat classes empty nearly every shadow-pass tile).
     @pl.when(occ_ref[0, 0] > 0)
     def _work():
-        G = g_ref[0, 0]  # (FIELDS, C)
-        # per-tile pixel centers from the grid index (no Pmat input); Mosaic
-        # only has integer iota, so index math stays i32 until the final
-        # convert
-        pix = jax.lax.broadcasted_iota(jnp.int32, (1, pix_n), 1)
-        tile_ox = jnp.float32(tile) * jnp.float32(jax.lax.rem(i, tw))
-        tile_oy = jnp.float32(tile) * jnp.float32(jax.lax.div(i, tw))
-        X = tile_ox + jax.lax.rem(pix, tile).astype(jnp.float32) + 0.5
-        Y = tile_oy + jax.lax.div(pix, tile).astype(jnp.float32) + 0.5
-
-        def edge(g):  # E_g(p) = lx*x + ly*y + lc, rank-1 broadcast (C, PIX)
-            lx = G[3 * g + 0][:, None]
-            ly = G[3 * g + 1][:, None]
-            lc = G[3 * g + 2][:, None]
-            return lx * X + ly * Y + lc
-
-        E0, E1, E2, Esum, Ez = edge(0), edge(1), edge(2), edge(3), edge(4)
-
-        inside = ((E0 >= 0) & (E1 >= 0) & (E2 >= 0)) | (
-            (E0 <= 0) & (E1 <= 0) & (E2 <= 0)
+        bw, bt = _eval_chunk(
+            g_ref[0, 0], ids_ref[0, 0, 0], md_ref[0, 0], i,
+            near=near, far=far, tw=tw, tile=tile,
         )
-        denom = jnp.where(jnp.abs(Esum) < 1e-20, 1.0, Esum)
-        wp = Ez / denom  # (C, PIX)
-
-        ids = ids_ref[0, 0, 0]  # (C,) i32; negative = masked slot
-        md = md_ref[0, 0]  # (PIX,)
-        ids_col = ids[:, None]  # broadcast the 32-bit value FIRST (Mosaic
-        # can't insert a minor dim on 1-bit types), then compare
-        ok = (
-            inside
-            & (jnp.abs(Esum) > 1e-20)
-            & (wp > near)
-            & (wp <= far)
-            & (wp > md[None, :] + 1e-5)
-            & (ids_col >= 0)
-        )
-        score = jnp.where(ok, wp, inf)  # (C, PIX)
-        bw = jnp.min(score, axis=0)  # (PIX,)
-        # winner id without a gather: min id among score == bw
-        big_id = jnp.int32(2**30)
-        bt = jnp.min(
-            jnp.where((score == bw[None, :]) & ok, ids_col, big_id), axis=0
-        )
-        bt = jnp.where(bw < inf, bt, -1)
-
         better = bw < w_ref[0, 0]
         t_ref[0, 0] = jnp.where(better, bt, t_ref[0, 0])
         w_ref[0, 0] = jnp.where(better, bw, w_ref[0, 0])
 
 
+def _kernel_grouped(off_ref, occ_ref, g_ref, ids_ref, md_ref, w_ref, t_ref,
+                    *, near, far, tw, tile, tpg):
+    pix_n = tile * tile
+    base = (pl.program_id(0) * tpg) + off_ref[0]
+    j = pl.program_id(1)
+
+    for t in range(tpg):  # static unroll: one DMA'd slab, TPG tile evals
+
+        @pl.when(j == 0)
+        def _init(t=t):
+            w_ref[0, t] = jnp.full((pix_n,), jnp.inf, jnp.float32)
+            t_ref[0, t] = jnp.full((pix_n,), -1, jnp.int32)
+
+        @pl.when(occ_ref[0, t, 0] > 0)
+        def _work(t=t):
+            bw, bt = _eval_chunk(
+                g_ref[0, t, 0], ids_ref[0, t, 0, 0], md_ref[0, t], base + t,
+                near=near, far=far, tw=tw, tile=tile,
+            )
+            better = bw < w_ref[0, t]
+            t_ref[0, t] = jnp.where(better, bt, t_ref[0, t])
+            w_ref[0, t] = jnp.where(better, bw, w_ref[0, t])
+
+
 @functools.partial(
-    jax.jit, static_argnames=("near", "far", "chunk", "tw", "interpret", "tile")
+    jax.jit,
+    static_argnames=(
+        "near", "far", "chunk", "tw", "interpret", "tile", "tiles_per_cell"
+    ),
 )
 def fine_raster_pallas(
     G: jax.Array,  # (n_tiles, n_chunks, FIELDS, C) line fields, tri-minor
@@ -114,10 +161,10 @@ def fine_raster_pallas(
     interpret: bool = False,
     tile_offset: jax.Array | None = None,  # global id of tile row 0 (slabs)
     tile: int = TILE,  # tile edge in pixels (shadow passes use bigger tiles)
+    tiles_per_cell: int = 1,  # >1: loop TPG tiles per grid cell (fat DMAs)
 ):
     PIX = tile * tile
     n_tiles, n_chunks = G.shape[0], G.shape[1]
-    kernel = functools.partial(_kernel, near=near, far=far, tw=tw, tile=tile)
     if tile_offset is None:
         tile_offset = jnp.zeros((1,), jnp.int32)
     # per-cell occupancy for the kernel's predication (any unmasked slot?)
@@ -127,28 +174,84 @@ def fine_raster_pallas(
     # every operand a trailing singleton "row" dim where needed.
     ids4 = ids[:, :, None, :]  # (n_tiles, n_chunks, 1, C)
     md3 = md_tiles[:, None, :]  # (n_tiles, 1, PIX)
+
+    tpg = tiles_per_cell
+    if tpg <= 1:
+        kernel = functools.partial(_kernel, near=near, far=far, tw=tw,
+                                   tile=tile)
+        w, t = pl.pallas_call(
+            kernel,
+            grid=(n_tiles, n_chunks),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # tile_offset scalar
+                pl.BlockSpec((1, 1), lambda i, j: (i, j),
+                             memory_space=pltpu.SMEM),  # occupancy flag
+                pl.BlockSpec((1, 1, FIELDS, chunk), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, chunk), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, PIX), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, PIX), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, PIX), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_tiles, 1, PIX), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles, 1, PIX), jnp.int32),
+            ),
+            interpret=interpret,
+        )(tile_offset, occ, G, ids4, md3)
+        return w[:, 0], t[:, 0]
+
+    # grouped layout: pad the tile axis to a TPG multiple, add a group axis
+    pad_t = (-n_tiles) % tpg
+    if pad_t:
+        Gp = jnp.pad(G, ((0, pad_t), (0, 0), (0, 0), (0, 0)))
+        ids4 = jnp.pad(ids4, ((0, pad_t), (0, 0), (0, 0), (0, 0)),
+                       constant_values=-1)
+        md3 = jnp.pad(md3, ((0, pad_t), (0, 0), (0, 0)))
+        occ = jnp.pad(occ, ((0, pad_t), (0, 0)))
+    else:
+        Gp = G
+    ng = (n_tiles + pad_t) // tpg
+    Gg = Gp.reshape(ng, tpg, n_chunks, FIELDS, Gp.shape[-1])
+    idsg = ids4.reshape(ng, tpg, n_chunks, 1, ids4.shape[-1])
+    mdg = md3.reshape(ng, tpg, PIX)
+    occg = occ.reshape(ng, tpg, n_chunks)
+
+    kernel = functools.partial(_kernel_grouped, near=near, far=far, tw=tw,
+                               tile=tile, tpg=tpg)
     w, t = pl.pallas_call(
         kernel,
-        grid=(n_tiles, n_chunks),
+        grid=(ng, n_chunks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # tile_offset scalar
-            pl.BlockSpec((1, 1), lambda i, j: (i, j),
-                         memory_space=pltpu.SMEM),  # occupancy flag
-            pl.BlockSpec((1, 1, FIELDS, chunk), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tpg, 1), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tpg, 1, FIELDS, chunk),
+                         lambda i, j: (i, 0, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, chunk), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, tpg, 1, 1, chunk), lambda i, j: (i, 0, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PIX), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, tpg, PIX), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, PIX), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PIX), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tpg, PIX), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tpg, PIX), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, 1, PIX), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, PIX), jnp.int32),
+            jax.ShapeDtypeStruct((ng, tpg, PIX), jnp.float32),
+            jax.ShapeDtypeStruct((ng, tpg, PIX), jnp.int32),
         ),
         interpret=interpret,
-    )(tile_offset, occ, G, ids4, md3)
-    return w[:, 0], t[:, 0]
+    )(tile_offset, occg, Gg, idsg, mdg)
+    w = w.reshape(ng * tpg, PIX)[:n_tiles]
+    t = t.reshape(ng * tpg, PIX)[:n_tiles]
+    return w, t

@@ -261,6 +261,12 @@ def rasterize_vertices(
         # Pallas path is exercised without hardware
         interpret = jax.devices()[0].platform != "tpu"
 
+        import os
+
+        # fat-cell grid layout (fine_raster docstring): per-cell DMA/sync
+        # overhead dominates at 1-tile cells on dense tile grids
+        tpg = int(os.environ.get("SL_FINE_TPG", "1"))
+
         def run_slab(ids_slab, md_slab, offset):
             """Gather + kernel for one slab of tiles (the gathered G table is
             the peak-memory tensor; slabbing bounds it at high tile counts)."""
@@ -270,6 +276,7 @@ def rasterize_vertices(
             return fine_raster_pallas(
                 g, ids_slab, md_slab, float(near), float(far), fine_chunk, tw,
                 interpret=interpret, tile_offset=offset.reshape(1), tile=tile,
+                tiles_per_cell=tpg,
             )
 
         if n_tiles <= MAX_TILES_PER_PASS:

@@ -104,3 +104,38 @@ def test_pallas_slab_path_matches_single_pass(settled, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(one.depth), np.asarray(slabbed.depth)
     )
+
+
+def test_fine_raster_grouped_matches_single():
+    """tiles_per_cell>1 (fat-cell grid) agrees bitwise with the 1-tile grid,
+    including the padded remainder group and the occupancy-skip path."""
+    from stillleben_tpu.ops.fine_raster import FIELDS, fine_raster_pallas
+
+    rng = np.random.default_rng(4)
+    n_tiles, n_chunks, C = 11, 2, 64  # 11 % 8 != 0 -> exercises padding
+    G = jnp.asarray(rng.normal(size=(n_tiles, n_chunks, FIELDS, C)).astype(np.float32))
+    ids = rng.integers(-1, 40, size=(n_tiles, n_chunks, C)).astype(np.int32)
+    ids[3] = -1  # fully-masked tile (occupancy skip)
+    ids[7, 1] = -1  # fully-masked chunk
+    ids = jnp.asarray(ids)
+    md = jnp.asarray(rng.random((n_tiles, 16 * 16)).astype(np.float32) * 0.1)
+
+    kw = dict(near=0.1, far=10.0, chunk=C, tw=4, interpret=True)
+    w1, t1 = fine_raster_pallas(G, ids, md, **kw)
+    for tpg in (4, 8):
+        wg, tg = fine_raster_pallas(G, ids, md, tiles_per_cell=tpg, **kw)
+        np.testing.assert_array_equal(np.asarray(wg), np.asarray(w1))
+        np.testing.assert_array_equal(np.asarray(tg), np.asarray(t1))
+
+
+def test_fine_raster_tpg_through_render(settled, monkeypatch):
+    """SL_FINE_TPG plumbs through the full render and matches TPG=1."""
+    tpl, poses, cam, light = settled
+    monkeypatch.setenv("SL_FINE_TPG", "8")
+    a = render_with_poses(tpl, poses, cam, CFG_PALLAS, light)
+    monkeypatch.setenv("SL_FINE_TPG", "1")
+    b = render_with_poses(tpl, poses, cam, CFG_PALLAS, light)
+    np.testing.assert_array_equal(
+        np.asarray(a.instance_index), np.asarray(b.instance_index)
+    )
+    np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb), atol=1)
