@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Hardware A/B sweep for the staged perf experiments.
+
+The TPU relay comes and goes; when it's up, hardware minutes are the scarce
+resource. This driver burns them efficiently: one subprocess per named
+config (the relay tolerates exactly one attached process), persistent
+compile cache shared across runs, one-line result per config, JSONL log.
+
+    python tools/tpu_tune.py            # all configs, value-ordered
+    python tools/tpu_tune.py tpg8 cap64 # just these
+    TUNE_BUDGET=700 python tools/tpu_tune.py
+
+Each config measures the bench's textured workload (BENCH_BATCH=8,
+REPEATS=1 by default) through bench.py's rung-0 runner, so numbers are
+directly comparable with BENCH_r*.json. Results: /tmp/tpu_tune.jsonl +
+stdout table.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BUDGET = int(os.environ.get("TUNE_BUDGET", "900"))  # s per config, backstop
+LOG = os.environ.get("TUNE_LOG", "/tmp/tpu_tune.jsonl")
+
+# (name, env overrides). Ordered by expected value; baseline first so every
+# later row has a same-session reference point.
+CONFIGS = [
+    ("baseline", {}),
+    # fat-cell fine-raster grid: 8 tiles per DMA (ops/fine_raster.py)
+    ("tpg8", {"SL_FINE_TPG": "8"}),
+    ("tpg4", {"SL_FINE_TPG": "4"}),
+    # texture sampler evaluation order A/B (shading.py): packed is default
+    ("tex_hwc", {"SL_TEX_SAMPLER": "hwc"}),
+    # binning capacity: halves the fine stage's K if quality holds
+    ("cap64", {"BENCH_TILE_CAP": "64"}),
+    # bigger render sub-batch amortizes per-program overheads
+    ("sub8", {"BENCH_RENDER_SUB": "8"}),
+    ("batch16", {"BENCH_BATCH": "16"}),
+    # combined best-guess (update after singles measure)
+    ("combo", {"SL_FINE_TPG": "8", "BENCH_TILE_CAP": "64",
+               "BENCH_RENDER_SUB": "8"}),
+]
+
+_RUNNER = "_SL_TUNE_RUNNER"
+if os.environ.get(_RUNNER) != "1":
+    env = dict(os.environ)
+    env[_RUNNER] = "1"
+    env["_SL_TUNE_CHILD_PYTHONPATH"] = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"  # the runner must never hold the relay
+    os.execve(sys.executable, [sys.executable, "-u"] + sys.argv, env)
+
+CHILD_ENV = dict(os.environ)
+CHILD_ENV["PYTHONPATH"] = os.environ.get("_SL_TUNE_CHILD_PYTHONPATH", "")
+CHILD_ENV.pop("JAX_PLATFORMS", None)
+CHILD_ENV.pop(_RUNNER, None)
+
+
+def run_config(name: str, over: dict) -> dict:
+    env = dict(CHILD_ENV)
+    env.setdefault("BENCH_BATCH", "8")
+    env.setdefault("BENCH_REPEATS", "1")
+    env.update(over)
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-u", os.path.join(REPO, "bench.py"),
+             "--rung", "0"],
+            capture_output=True, text=True, timeout=BUDGET,
+            cwd=REPO, env=env,
+        )
+        rc, out, err = proc.returncode, proc.stdout, proc.stderr
+    except subprocess.TimeoutExpired as e:
+        rc = 124
+        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        err = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
+    wall = time.time() - t0
+    rec = {"config": name, "env": over, "rc": rc, "wall_s": round(wall, 1)}
+    lines = [l for l in out.splitlines() if l.startswith("{")]
+    if rc == 0 and lines:
+        rec.update(json.loads(lines[-1]))
+    else:
+        rec["tail"] = "\n".join((err or out).splitlines()[-4:])
+    with open(LOG, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    return rec
+
+
+def main() -> None:
+    want = set(sys.argv[1:])
+    picked = [c for c in CONFIGS if not want or c[0] in want]
+    print(f"tpu_tune: {len(picked)} configs, budget {BUDGET}s each")
+    results = []
+    for name, over in picked:
+        rec = run_config(name, over)
+        results.append(rec)
+        val = rec.get("value")
+        status = f"{val} scenes/s" if val is not None else f"rc={rec['rc']}"
+        print(f"  {name:<10} {status:<18} wall {rec['wall_s']}s "
+              f"{rec.get('tail', '')[:120]}", flush=True)
+    good = [r for r in results if r.get("value")]
+    if good:
+        best = max(good, key=lambda r: r["value"])
+        print(f"tpu_tune: best = {best['config']} at {best['value']} scenes/s "
+              f"(env {best['env']})")
+
+
+if __name__ == "__main__":
+    main()
