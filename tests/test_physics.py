@@ -286,3 +286,56 @@ def test_frame_mode_settle_multihull_stable():
     z = p[:, :, 2, 3]
     assert z.min() > 0.0, "object below the floor"
     assert z.max() < 0.6, f"unsettled tower: z={z.max():.2f}"
+
+
+def test_pallas_velocity_loop_matches_xla(monkeypatch):
+    """The fused Pallas velocity loop (SL_PALLAS_SOLVER=1, interpret on CPU)
+    reproduces the XLA fori_loop solve on a real contact set: a 3-cube stack
+    plus one sliding cube (exercises normal impulses, stick AND slip
+    friction, warm start, and the in-loop velocity bound)."""
+    from stillleben_tpu.physics.contacts import make_floor
+    from stillleben_tpu.physics.engine import gather_contacts, integrate_velocities
+    from stillleben_tpu.physics.solver import solve_contacts
+
+    atlas, params, pairs = _make_world(4, half=0.1)
+    # slightly interpenetrating stack + a fast tangential slider on the floor
+    state = _state(
+        [[0, 0, 0.099], [0, 0, 0.295], [0, 0, 0.49], [0.5, 0, 0.0995]],
+        velocities=[[0, 0, -0.1], [0, 0, -0.2], [0.01, 0, -0.3], [2.0, 0, 0]],
+    )
+    floor = make_floor()
+    cfg = default_config()
+    dt = jnp.float32(0.0025)
+
+    state = integrate_velocities(params, state, dt, cfg)
+    contacts = gather_contacts(
+        atlas, params, state, floor, pairs, max_narrow_pairs=cfg.max_narrow_pairs
+    )
+    assert bool(contacts.valid.sum() >= 4), "scenario must generate contacts"
+
+    warm = (
+        jnp.where(contacts.valid, 0.01, 0.0),
+        jnp.where(contacts.valid, 0.002, 0.0),
+        jnp.zeros_like(contacts.depth),
+    )
+
+    monkeypatch.setenv("SL_PALLAS_SOLVER", "0")
+    s_ref, rep_ref, acc_ref = solve_contacts(contacts, params, state, dt, cfg, warm=warm)
+    monkeypatch.setenv("SL_PALLAS_SOLVER", "1")
+    s_k, rep_k, acc_k = solve_contacts(contacts, params, state, dt, cfg, warm=warm)
+
+    np.testing.assert_allclose(
+        np.asarray(s_k.lin_vel), np.asarray(s_ref.lin_vel), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_k.ang_vel), np.asarray(s_ref.ang_vel), atol=1e-5
+    )
+    for a, b in zip(acc_k, acc_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(rep_k.min_separation),
+        np.asarray(rep_ref.min_separation),
+        atol=1e-6,
+    )
+    # the slider must actually be slipping (dynamic-friction branch taken)
+    assert float(s_ref.lin_vel[3, 0]) > 0.5

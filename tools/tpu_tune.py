@@ -40,9 +40,11 @@ CONFIGS = [
     # bigger render sub-batch amortizes per-program overheads
     ("sub8", {"BENCH_RENDER_SUB": "8"}),
     ("batch16", {"BENCH_BATCH": "16"}),
+    # fused VMEM contact-solver velocity loop (ops/contact_solver.py)
+    ("solver", {"SL_PALLAS_SOLVER": "1"}),
     # combined best-guess (update after singles measure)
     ("combo", {"SL_FINE_TPG": "8", "BENCH_TILE_CAP": "64",
-               "BENCH_RENDER_SUB": "8"}),
+               "BENCH_RENDER_SUB": "8", "SL_PALLAS_SOLVER": "1"}),
 ]
 
 _RUNNER = "_SL_TUNE_RUNNER"
