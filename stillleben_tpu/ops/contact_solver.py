@@ -188,3 +188,108 @@ def velocity_loop_pallas(
         J_a, J_b, H_a, H_b, m3, tgt, mu_d, mu_s, acc0,
     )
     return out
+
+
+def _pos_kernel(
+    pos0_ref,    # (3, NB)
+    quat0_ref,   # (4, NB)
+    mat_a_ref,   # (NB, NC)
+    mat_b_ref,
+    matt_a_ref,  # (NC, NB)
+    matt_b_ref,
+    n_ref,       # (3, NC) contact normals (zeroed for invalid)
+    hp_a_ref,    # (3, NC) position response inv_m*scale*n
+    hp_b_ref,
+    hth_a_ref,   # (3, NC) rotation response scale*inv_I(r x n)
+    hth_b_ref,
+    m_ref,       # (1, NC) effective normal mass (0 = invalid)
+    depth_ref,   # (1, NC)
+    pos_out_ref,
+    quat_out_ref,
+    *,
+    iterations: int,
+    slop: float,
+    max_step: float,
+    gain: float,
+):
+    pos0 = pos0_ref[...]
+    quat0 = quat0_ref[...]
+    mat_a = mat_a_ref[...]
+    mat_b = mat_b_ref[...]
+    matt_a = matt_a_ref[...]
+    matt_b = matt_b_ref[...]
+    nrm = n_ref[...]
+    hp_a = hp_a_ref[...]
+    hp_b = hp_b_ref[...]
+    hth_a = hth_a_ref[...]
+    hth_b = hth_b_ref[...]
+    m_n = m_ref[0]
+    depth = depth_ref[0]
+
+    dn = (((1,), (0,)), ((), ()))
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, dimension_numbers=dn,
+                                   preferred_element_type=jnp.float32)
+
+    def body(_, carry):
+        pos, quat, corrected = carry
+        pen = jnp.minimum(jnp.maximum(depth - corrected - slop, 0.0), max_step)
+        lam = gain * pen * m_n  # (NC,); m_n = 0 masks invalid contacts
+
+        dpos = dot(hp_b * lam[None, :], matt_b) - dot(hp_a * lam[None, :], matt_a)
+        dth = dot(hth_b * lam[None, :], matt_b) - dot(hth_a * lam[None, :], matt_a)
+
+        pos = pos + dpos
+
+        # quat += 0.5 * [0, dth] (x) quat, renormalized — (4, NB) layout
+        w, x, y, z = quat[0], quat[1], quat[2], quat[3]
+        ox, oy, oz = dth[0], dth[1], dth[2]
+        dq_w = 0.5 * (-ox * x - oy * y - oz * z)
+        dq_x = 0.5 * (ox * w + oy * z - oz * y)
+        dq_y = 0.5 * (-ox * z + oy * w + oz * x)
+        dq_z = 0.5 * (ox * y - oy * x + oz * w)
+        q = jnp.stack([w + dq_w, x + dq_x, y + dq_y, z + dq_z], axis=0)
+        q = q / jnp.maximum(
+            jnp.sqrt(jnp.sum(q * q, axis=0, keepdims=True)), 1e-12
+        )
+
+        corr_b = jnp.sum(dot(dpos, mat_b) * nrm, axis=0)
+        corr_a = jnp.sum(dot(dpos, mat_a) * nrm, axis=0)
+        corrected = corrected + (corr_b - corr_a)
+        return pos, q, corrected
+
+    pos, quat, _ = jax.lax.fori_loop(
+        0, iterations, body, (pos0, quat0, jnp.zeros_like(m_n))
+    )
+    pos_out_ref[...] = pos
+    quat_out_ref[...] = quat
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "slop", "max_step", "gain", "interpret"),
+)
+def position_loop_pallas(
+    pos0, quat0, mat_a, mat_b, nrm, hp_a, hp_b, hth_a, hth_b, m_n, depth,
+    *, iterations, slop, max_step, gain, interpret=False,
+):
+    kernel = functools.partial(
+        _pos_kernel, iterations=iterations, slop=slop, max_step=max_step,
+        gain=gain,
+    )
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[vm] * 13,
+        out_specs=(vm, vm),
+        out_shape=(
+            jax.ShapeDtypeStruct(pos0.shape, jnp.float32),
+            jax.ShapeDtypeStruct(quat0.shape, jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        pos0, quat0, mat_a, mat_b,
+        jnp.swapaxes(mat_a, 0, 1), jnp.swapaxes(mat_b, 0, 1),
+        nrm, hp_a, hp_b, hth_a, hth_b, m_n, depth,
+    )

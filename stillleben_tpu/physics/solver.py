@@ -384,6 +384,46 @@ def position_correction(
     n = contacts.normal
     m_n = jnp.where(contacts.valid, _effective_mass(contacts, kin, n), 0.0)
 
+    import os
+
+    if os.environ.get("SL_PALLAS_SOLVER", "0") == "1":
+        # fused VMEM positional projection (ops/contact_solver.py) — same
+        # dispatch-bound argument as the velocity loop above
+        from ..ops.contact_solver import position_loop_pallas
+
+        vmask = contacts.valid.astype(jnp.float32)[:, None]
+        nm = vmask * n
+
+        def hp(inv_m, scale):
+            return ((inv_m * scale)[:, None] * n * vmask).T
+
+        def hth(inv_I, r, scale):
+            return (
+                jnp.einsum("cij,cj->ci", inv_I, jnp.cross(r, n))
+                * scale[:, None]
+                * vmask
+            ).T
+
+        pos, quat = position_loop_pallas(
+            state.pos.T,
+            state.quat.T,
+            kin.mat_a,
+            kin.mat_b,
+            nm.T,
+            hp(kin.inv_m_a, kin.scale_a),
+            hp(kin.inv_m_b, kin.scale_b),
+            hth(kin.inv_I_a, kin.r_a, kin.scale_a),
+            hth(kin.inv_I_b, kin.r_b, kin.scale_b),
+            m_n[None],
+            contacts.depth[None],
+            iterations=int(cfg.position_iterations),
+            slop=float(cfg.slop),
+            max_step=2.5e-3,
+            gain=0.8,
+            interpret=jax.devices()[0].platform != "tpu",
+        )
+        return state._replace(pos=pos.T, quat=quat.T)
+
     def body_fn(_, carry):
         pos, quat, corrected = carry
         # capped: an incorrectly-measured deep penetration must not teleport

@@ -339,3 +339,32 @@ def test_pallas_velocity_loop_matches_xla(monkeypatch):
     )
     # the slider must actually be slipping (dynamic-friction branch taken)
     assert float(s_ref.lin_vel[3, 0]) > 0.5
+
+
+def test_pallas_position_loop_matches_xla(monkeypatch):
+    """Fused positional projection agrees with the XLA loop (positions,
+    orientations, and the per-contact corrected-depth tracking)."""
+    from stillleben_tpu.physics.contacts import make_floor
+    from stillleben_tpu.physics.engine import gather_contacts
+    from stillleben_tpu.physics.solver import position_correction
+
+    atlas, params, pairs = _make_world(3, half=0.1)
+    state = _state(
+        [[0, 0, 0.095], [0.05, 0.01, 0.28], [0.5, 0, 0.09]],
+    )
+    floor = make_floor()
+    cfg = default_config()
+    contacts = gather_contacts(
+        atlas, params, state, floor, pairs, max_narrow_pairs=cfg.max_narrow_pairs
+    )
+    assert bool(contacts.valid.sum() >= 3)
+
+    monkeypatch.setenv("SL_PALLAS_SOLVER", "0")
+    s_ref = position_correction(contacts, params, state, cfg)
+    monkeypatch.setenv("SL_PALLAS_SOLVER", "1")
+    s_k = position_correction(contacts, params, state, cfg)
+
+    np.testing.assert_allclose(np.asarray(s_k.pos), np.asarray(s_ref.pos), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_k.quat), np.asarray(s_ref.quat), atol=1e-6)
+    # the projection actually moved something (test isn't vacuous)
+    assert float(np.abs(np.asarray(s_ref.pos) - np.asarray(state.pos)).max()) > 1e-5
