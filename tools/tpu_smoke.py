@@ -178,6 +178,43 @@ print('shadow2048 ok')
 """,
     ),
     (
+        "fine_raster_tpg",
+        """
+import numpy as np
+from stillleben_tpu.ops.fine_raster import fine_raster_pallas, FIELDS
+rng = np.random.default_rng(0)
+G = jnp.asarray(rng.normal(size=(12, 2, FIELDS, 128)).astype(np.float32))
+ids = jnp.asarray(rng.integers(-1, 50, size=(12, 2, 128)).astype(np.int32))
+md = jnp.zeros((12, 256), jnp.float32)
+w1, t1 = fine_raster_pallas(G, ids, md, 0.1, 10.0, 128, 4)
+for tpg in (4, 8):
+    wg, tg = fine_raster_pallas(G, ids, md, 0.1, 10.0, 128, 4,
+                                tiles_per_cell=tpg)
+    assert (np.asarray(wg) == np.asarray(w1)).all(), f'tpg={tpg} w mismatch'
+    assert (np.asarray(tg) == np.asarray(t1)).all(), f'tpg={tpg} t mismatch'
+print('fine_raster_tpg ok')
+""",
+    ),
+    (
+        "pallas_solver",
+        """
+import os
+import numpy as np
+os.environ['SL_PALLAS_SOLVER'] = '1'
+import stillleben_tpu as sl
+sl.init()
+scene = sl.Scene((64, 64)); scene.seed(0)
+cube = sl.Mesh('primitive://cube'); cube.scale_to_bbox_diagonal(0.2)
+for _ in range(3):
+    scene.add_object(sl.Object(cube))
+scene.simulate_tabletop_scene()
+for o in scene.objects:
+    z = np.asarray(o.pose())[2, 3]
+    assert z > -0.01, f'body below floor: {z}'
+print('pallas_solver ok')
+""",
+    ),
+    (
         "bench_small",
         """
 import os, runpy
