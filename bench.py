@@ -190,6 +190,10 @@ def _attempt(label, tpl, cfg, solver_cfg, batch, sub):
 # PJRT client (observed: even jnp.asarray raises afterwards), so in-process
 # degradation cannot work.
 RUNGS = [
+    # rung 0 applies TUNED.json (written by tools/tpu_tune.py when a sweep
+    # finds a config beating baseline) — env-only knobs, same honest
+    # workload. Skipped silently when the file doesn't exist.
+    (WORKLOAD, "tuned", dict()),
     (WORKLOAD, "full", dict()),
     # XLA-fallback fine stage materializes (C*5, PIX) edge tensors per
     # tile: at 2048^2 shadows that is a ~10 GB/scene transient (observed
@@ -213,9 +217,19 @@ def run_rung(idx: int) -> None:
     from stillleben_tpu.render.frame import FrameConfig
 
     workload, label, over = RUNGS[idx]
+    if label == "tuned":
+        # measured-winner env from tools/tpu_tune.py; no file = skip rung
+        tuned_path = os.path.join(_REPO, "TUNED.json")
+        if not os.path.exists(tuned_path):
+            sys.exit(4)
+        with open(tuned_path) as f:
+            tuned = json.load(f)
+        os.environ.update({k: str(v) for k, v in tuned.get("env", {}).items()})
+        print(f"bench[tuned]: applying {tuned.get('env')}", file=sys.stderr,
+              flush=True)
     chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     sub = int(os.environ.get("BENCH_RENDER_SUB", "4"))
-    batch = BATCH
+    batch = int(os.environ.get("BENCH_BATCH", str(BATCH)))
     if label == "cpu_fallback_not_tpu":
         batch = min(BATCH, 2)
         sub = 1
@@ -318,6 +332,10 @@ def main():
     for idx, (workload, label, _) in enumerate(RUNGS):
         if not device_ok and label != "cpu_fallback_not_tpu":
             continue  # relay down: jump straight to the CPU rung
+        if label == "tuned" and not os.path.exists(
+            os.path.join(_REPO, "TUNED.json")
+        ):
+            continue  # no measured tuning on record
         env_i = dict(child_env)
         if label == "cpu_fallback_not_tpu":
             # the relay tunnel is gone — run on the CPU backend with the

@@ -109,6 +109,25 @@ def main() -> None:
         best = max(good, key=lambda r: r["value"])
         print(f"tpu_tune: best = {best['config']} at {best['value']} scenes/s "
               f"(env {best['env']})")
+        base = next((r for r in results if r["config"] == "baseline"), None)
+        if (
+            best["env"]
+            and base
+            and base.get("value")
+            and best["value"] > 1.05 * base["value"]
+        ):
+            # persist the winner for bench.py's "tuned" rung (commit it so
+            # the driver's end-of-round bench picks it up)
+            out = {
+                "env": best["env"],
+                "config": best["config"],
+                "scenes_per_sec": best["value"],
+                "baseline_scenes_per_sec": base["value"],
+            }
+            with open(os.path.join(REPO, "TUNED.json"), "w") as f:
+                json.dump(out, f, indent=1)
+            print(f"tpu_tune: wrote TUNED.json ({best['config']}, "
+                  f"{best['value']} vs baseline {base['value']})")
 
 
 if __name__ == "__main__":
