@@ -88,6 +88,44 @@ def run(ycb_path=None, ibl_path=None, plane_texture_path=None, out="rgb.jpeg"):
           sorted(set(np.unique(np.asarray(result.instance_index()))) - {0}))
 
 
+def run_stream(n_batches=4, batch=8, out_dir="ycb_out", width=320, height=240):
+    """Production-shaped datagen: the host-pipelined stream renders batches
+    on-device while the threaded saver writes the previous batch's PNGs
+    (rgb + instance masks) — the reference's render->save loop without the
+    readback stall."""
+    from stillleben_tpu.parallel.batch import template_from_scene
+    from stillleben_tpu.physics.types import default_config
+    from stillleben_tpu.render.frame import FrameConfig
+
+    sl.init()
+    scene = sl.Scene((width, height))
+    scene.seed(0)
+    meshes = []
+    for i, (name, diag) in enumerate((("cube", 0.15), ("sphere", 0.12))):
+        m = sl.Mesh(f"primitive://{name}")
+        m.scale_to_bbox_diagonal(diag)
+        m.class_index = i + 1
+        meshes.append(m)
+    for k in range(8):
+        scene.add_object(sl.Object(meshes[k % 2]))
+    tpl = template_from_scene(scene)
+    cfg = FrameConfig(width=width, height=height, shading="pbr", ssao=False,
+                      max_lights=1)
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    with sl.ImageSaver() as saver:
+        for frames in sl.generate_stream(
+            tpl, cfg, default_config(), batch=batch, n_batches=n_batches
+        ):
+            for rgb, inst in zip(frames.rgb, frames.instance_index):
+                saver.save(rgb, os.path.join(out_dir, f"{n:06d}_rgb.png"))
+                saver.save(inst.astype(np.uint16),
+                           os.path.join(out_dir, f"{n:06d}_mask.png"))
+                n += 1
+    print(f"wrote {n} scenes to {out_dir}/")
+
+
 if __name__ == "__main__":
     import argparse
 
@@ -96,5 +134,11 @@ if __name__ == "__main__":
                         help='path containing the "models" directory (optional)')
     parser.add_argument("--ibl", metavar="FILE.IBL", type=str, help="environment light map")
     parser.add_argument("--plane-texture", metavar="IMAGE", type=str)
+    parser.add_argument("--stream", metavar="N", type=int, default=None,
+                        help="datagen mode: stream N batches of 8 scenes to --out-dir")
+    parser.add_argument("--out-dir", default="ycb_out")
     args = parser.parse_args()
-    run(args.dataset, args.ibl, args.plane_texture)
+    if args.stream:
+        run_stream(n_batches=args.stream, out_dir=args.out_dir)
+    else:
+        run(args.dataset, args.ibl, args.plane_texture)
