@@ -231,8 +231,8 @@ def run_rung(idx: int) -> None:
     sub = int(os.environ.get("BENCH_RENDER_SUB", "4"))
     batch = int(os.environ.get("BENCH_BATCH", str(BATCH)))
     if label == "cpu_fallback_not_tpu":
-        batch = min(BATCH, 2)
-        sub = 1
+        batch = int(os.environ.get("BENCH_CPU_BATCH", "4"))
+        sub = 2
 
     tpl = build_template(workload)
     has_tex = bool((np.asarray(tpl.render_atlas.mat_base_tex) >= 0).any())
