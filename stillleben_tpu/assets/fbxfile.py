@@ -120,13 +120,129 @@ def _read_node(data: bytes, pos: int, wide: bool) -> tuple[_FbxNode | None, int]
     return node, end
 
 
+class _AsciiScanner:
+    """Character scanner for ASCII FBX: whitespace/comma/;-comment skipping,
+    quoted strings, numbers, `*N { a: ... }` arrays, bare identifiers."""
+
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+
+    def ws(self):
+        s, n = self.s, len(self.s)
+        while self.i < n:
+            c = s[self.i]
+            if c in " \t\r\n,":
+                self.i += 1
+            elif c == ";":
+                j = s.find("\n", self.i)
+                self.i = n if j < 0 else j + 1
+            else:
+                break
+
+    def peek(self) -> str:
+        self.ws()
+        return self.s[self.i] if self.i < len(self.s) else ""
+
+    def word(self) -> str:
+        self.ws()
+        j = self.i
+        while j < len(self.s) and (self.s[j].isalnum() or self.s[j] in "_|-"):
+            j += 1
+        w = self.s[self.i : j]
+        self.i = j
+        return w
+
+    def string(self) -> str:
+        assert self.s[self.i] == '"'
+        j = self.s.index('"', self.i + 1)
+        v = self.s[self.i + 1 : j]
+        self.i = j + 1
+        return v
+
+    def number(self):
+        j = self.i
+        s = self.s
+        while j < len(s) and (s[j].isdigit() or s[j] in "+-.eE"):
+            j += 1
+        tok = s[self.i : j]
+        self.i = j
+        return float(tok) if any(c in tok for c in ".eE") else int(tok)
+
+    def array(self):
+        self.i += 1  # '*'
+        self.number()  # declared length (trusted from the payload instead)
+        self.ws()
+        assert self.s[self.i] == "{"
+        j = self.s.index("}", self.i)
+        body = self.s[self.i + 1 : j]
+        self.i = j + 1
+        body = body.split(":", 1)[1] if ":" in body else body
+        toks = [t for t in body.replace("\n", ",").split(",") if t.strip()]
+        if any(c in t for t in toks for c in ".eE"):
+            return np.array([float(t) for t in toks], np.float64)
+        return np.array([int(t) for t in toks], np.int64)
+
+
+def _parse_ascii_node(sc: _AsciiScanner) -> _FbxNode | None:
+    if sc.peek() in ("", "}"):
+        return None
+    name = sc.word()
+    sc.ws()
+    if sc.peek() == ":":
+        sc.i += 1
+    node = _FbxNode(name=name)
+    while True:
+        c = sc.peek()
+        if c == '"':
+            node.props.append(sc.string())
+        elif c == "*":
+            node.props.append(sc.array())
+        elif c and (c.isdigit() or c in "+-."):
+            node.props.append(sc.number())
+        elif c and c.isalpha():
+            # bare word: a sibling node name if followed by ':', else a flag
+            save = sc.i
+            w = sc.word()
+            if sc.peek() == ":":
+                sc.i = save  # sibling node — rewind, stop this node's props
+                return node
+            node.props.append(w)
+        else:
+            break
+    if sc.peek() == "{":
+        sc.i += 1
+        while True:
+            child = _parse_ascii_node(sc)
+            if child is None:
+                break
+            node.children.append(child)
+        sc.ws()
+        if sc.peek() == "}":
+            sc.i += 1
+    return node
+
+
+def parse_fbx_ascii(text: str) -> list[_FbxNode]:
+    """ASCII FBX text -> top-level node list (same tree as the binary
+    parser, so all downstream geometry/material/connection code is shared)."""
+    sc = _AsciiScanner(text)
+    top: list[_FbxNode] = []
+    while True:
+        node = _parse_ascii_node(sc)
+        if node is None:
+            break
+        top.append(node)
+    return top
+
+
 def parse_fbx(data: bytes) -> tuple[list[_FbxNode], int]:
-    """Binary FBX bytes -> (top-level node list, version)."""
+    """Binary or ASCII FBX bytes -> (top-level node list, version)."""
     if not data.startswith(_MAGIC):
-        raise ValueError(
-            "not a binary FBX file (ASCII FBX is unsupported — export as "
-            "binary, glTF, or OBJ)"
-        )
+        head = data[:4096].lstrip()
+        if head.startswith(b";") or head.startswith(b"FBX"):
+            return parse_fbx_ascii(data.decode("utf-8", "replace")), 0
+        raise ValueError("not an FBX file (neither binary magic nor ASCII header)")
     version = struct.unpack_from("<I", data, 23)[0]
     wide = version >= 7500
     pos = 27

@@ -494,3 +494,68 @@ def test_load_fbx_binary(tmp_path):
     # +-0.5 cube, scale 2 -> +-1, Rz90 keeps the box, translate (1,2,3)
     np.testing.assert_allclose(c.positions.min(0), [0, 1, 2], atol=1e-5)
     np.testing.assert_allclose(c.positions.max(0), [2, 3, 4], atol=1e-5)
+
+
+def test_load_fbx_ascii(tmp_path):
+    """ASCII FBX parses into the same node tree the binary reader produces —
+    same quads/normals/material-split/transform handling downstream."""
+    import stillleben_tpu as sl
+
+    quads = [
+        [0, 1, 3, 2], [4, 6, 7, 5], [0, 4, 5, 1],
+        [2, 3, 7, 6], [0, 2, 6, 4], [1, 5, 7, 3],
+    ]
+    P = [[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5) for z in (-0.5, 0.5)]
+    verts = ",".join(f"{v:.1f}" for p in P for v in p)
+    pvi = ",".join(
+        str(i) for q in quads for i in (q[0], q[1], q[2], ~q[3])
+    )
+    qn = [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0), (0, 0, -1), (0, 0, 1)]
+    normals = ",".join(str(float(c)) for nq in qn for _ in range(4) for c in nq)
+
+    text = f"""; FBX 7.4.0 project file
+FBXHeaderExtension:  {{
+    FBXVersion: 7400
+}}
+Objects:  {{
+    Geometry: 100, "Geometry::cube", "Mesh" {{
+        Vertices: *{len(P) * 3} {{
+            a: {verts}
+        }}
+        PolygonVertexIndex: *{len(quads) * 4} {{
+            a: {pvi}
+        }}
+        LayerElementNormal: 0 {{
+            MappingInformationType: "ByPolygonVertex"
+            ReferenceInformationType: "Direct"
+            Normals: *{len(quads) * 12} {{
+                a: {normals}
+            }}
+        }}
+    }}
+    Model: 200, "Model::cube", "Mesh" {{
+        Properties70:  {{
+            P: "Lcl Translation", "Lcl Translation", "", "A", 1.0, 2.0, 3.0
+            P: "Lcl Scaling", "Lcl Scaling", "", "A", 2.0, 2.0, 2.0
+        }}
+    }}
+    Material: 300, "Material::red", "" {{
+        Properties70:  {{
+            P: "DiffuseColor", "Color", "", "A", 0.8, 0.1, 0.2
+        }}
+    }}
+}}
+Connections:  {{
+    C: "OO", 100, 200
+    C: "OO", 300, 200
+    C: "OO", 200, 0
+}}
+"""
+    path = tmp_path / "cube_ascii.fbx"
+    path.write_text(text)
+    mesh = sl.Mesh(str(path), physics=False)
+    c = mesh.consolidated
+    assert c.num_faces == 12  # 6 quads fanned
+    np.testing.assert_allclose(c.positions.min(0), [0, 1, 2], atol=1e-5)
+    np.testing.assert_allclose(c.positions.max(0), [2, 3, 4], atol=1e-5)
+    np.testing.assert_allclose(c.materials[0].base_color, [0.8, 0.1, 0.2, 1], atol=1e-6)
