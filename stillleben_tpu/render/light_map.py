@@ -421,9 +421,17 @@ class LightMap:
     def _load_source(self, path: str):
         lights = []
         if path.endswith(".ibl"):
-            cp = configparser.ConfigParser()
+            # real sIBL descriptors are hand-authored ini with quirks:
+            # UTF-8 BOMs, '%' in values (breaks configparser interpolation),
+            # duplicated keys, CRLF — parse leniently
+            cp = configparser.ConfigParser(interpolation=None, strict=False)
             with open(path, "r", errors="replace") as f:
-                cp.read_string(f.read())
+                text = f.read().lstrip("﻿")
+            cp.read_string(text)
+            if "Reflection" not in cp:
+                raise ValueError(
+                    f"{path}: no [Reflection] section — not an sIBL descriptor"
+                )
             base = os.path.dirname(os.path.abspath(path))
             sec = cp["Reflection"]
             file = sec.get("REFfile", "").strip('"')

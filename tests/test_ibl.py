@@ -96,3 +96,44 @@ def test_render_with_lightmap(ibl_file, cube_glb):
     # brute-force rasterizer path agrees (skybox-independent check): top half
     # of the image (sky direction) brighter than bottom (ground)
     assert rgb[:16, :, :3].mean() > rgb[-16:, :, :3].mean()
+
+
+def test_ibl_descriptor_quirks(hdr_env, tmp_path):
+    """Hand-authored sIBL quirks must not crash the parser: UTF-8 BOM,
+    CRLF line endings, '%' in values (configparser interpolation trap),
+    duplicated keys, mixed-case option names, unknown sections."""
+    d = os.path.dirname(hdr_env)
+    path = str(tmp_path / "quirky.ibl")
+    body = (
+        "[Header]\r\n"
+        "Name = 100% Quirky Env\r\n"
+        "Author = someone ; inline note\r\n"
+        "[Reflection]\r\n"
+        "REFFILE = env.hdr\r\n"     # mixed case
+        "REFgamma = 1.0\r\n"
+        "REFgamma = 1.0\r\n"        # duplicate key
+        "REFmulti = 1.0\r\n"
+        "[Sun]\r\n"
+        "SUNcolor = 255,255,255\r\n"
+        "SUNmulti = 1.0\r\n"
+        "SUNu = 0.0\r\n"
+        "SUNv = 0.25\r\n"
+        "[Unknown Extra]\r\n"
+        "weird=1\r\n"
+    )
+    with open(path, "wb") as f:
+        f.write(b"\xef\xbb\xbf" + body.encode())
+    # descriptor references env.hdr relative to its own directory
+    import shutil
+
+    shutil.copy(os.path.join(d, "env.hdr"), str(tmp_path / "env.hdr"))
+    lm = sl.LightMap(path)
+    assert lm.light_directions.shape[0] == 1
+    assert np.isfinite(np.asarray(lm.data.cubemap)).all()
+
+    # a non-sIBL ini gives a clear error, not a KeyError
+    bad = str(tmp_path / "bad.ibl")
+    with open(bad, "w") as f:
+        f.write("[Header]\nName=x\n")
+    with pytest.raises(ValueError, match="Reflection"):
+        sl.LightMap(bad)
