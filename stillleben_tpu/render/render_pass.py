@@ -77,15 +77,22 @@ class RenderPassResult:
 
 class RenderPass:
     def __init__(self, shading: str = "pbr", ssao: bool = True,
-                 shadow_mode: str = "vsm", ssao_mode: str = "fast"):
+                 shadow_mode: str = "vsm", ssao_mode: str = "fast",
+                 supersample: int = 1):
         if shading not in ("pbr", "phong", "flat"):
             raise ValueError(f"unknown shading type {shading!r}")
         if shadow_mode not in ("vsm", "pcf"):
             raise ValueError(f"unknown shadow mode {shadow_mode!r}")
+        if supersample < 1:
+            raise ValueError("supersample must be >= 1")
         self._shading = "flat" if shading == "flat" else "pbr"
         self.ssao_enabled = ssao
         self.ssao_mode = ssao_mode
         self.shadow_mode = shadow_mode
+        # anti-aliasing beyond the reference (its GL MRT path has no MSAA):
+        # render at supersample^2 resolution; rgb/hdr box-downsample, GT
+        # buffers take the center sample (indices/classes cannot average)
+        self.supersample = int(supersample)
         # atlas cache keyed on the scene's object-set stamp
         self._atlas = None
         self._atlas_key = None
@@ -157,6 +164,8 @@ class RenderPass:
         )
         has_sticker = bool((_np.asarray(atlas.obj_sticker_tex) >= 0).any())
         W, H = scene.viewport
+        ss = self.supersample
+        W, H = W * ss, H * ss
         # tile capacity scales with triangle density: dense scanned meshes
         # (e.g. the 69k-triangle bunny) have many sub-pixel triangles per
         # 16x16 tile; the binned list must hold several triangles per pixel
@@ -207,6 +216,8 @@ class RenderPass:
         if peel is not None:
             # background pixels carry 3000 = invalid; treat them as "no peel"
             peel = jnp.where(peel >= 2999.0, 0.0, peel)
+            if ss > 1:  # peel buffers live at viewport size
+                peel = jnp.repeat(jnp.repeat(peel, ss, axis=0), ss, axis=1)
 
         frame = render_frame(
             atlas, inputs, cfg,
@@ -214,4 +225,25 @@ class RenderPass:
             light_map=light_map_data,
             depth_peel_depth=peel,
         )
+        if ss > 1:
+            frame = _downsample_frame(frame, ss)
         return RenderPassResult(frame)
+
+
+def _downsample_frame(frame, ss: int):
+    """Supersampled frame -> viewport size: rgb/hdr box-filtered (the AA),
+    every GT buffer center-sampled (class/instance/vertex indices, depths and
+    barycentrics must stay exact per-pixel values, never blends)."""
+    import jax.numpy as jnp
+
+    def down(name, a):
+        H, W = a.shape[0] // ss, a.shape[1] // ss
+        if name in ("rgb", "hdr"):
+            x = a.astype(jnp.float32)
+            x = x.reshape((H, ss, W, ss) + a.shape[2:]).mean(axis=(1, 3))
+            if a.dtype == jnp.uint8:
+                return jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
+            return x.astype(a.dtype)
+        return a[ss // 2 :: ss, ss // 2 :: ss]
+
+    return type(frame)(**{k: down(k, v) for k, v in frame._asdict().items()})

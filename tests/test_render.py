@@ -649,3 +649,52 @@ def test_ssao_fast_agrees_with_reference_mode(cube_glb):
     union = (sf | sr).sum()
     assert union > 20
     assert inter / union > 0.2, f"AO hotspots disjoint (IoU {inter / union:.2f})"
+
+
+def test_supersample_antialiasing(cube_glb):
+    """supersample=2 renders at 2x and box-downsamples rgb: output keeps the
+    viewport size, GT buffers stay exact (center-sampled integers), and edge
+    pixels gain intermediate coverage values absent at 1x (the AA)."""
+    mesh = sl.Mesh(cube_glb, physics=False)
+    mesh.scale_to_bbox_diagonal(1.2)
+    scene = sl.Scene((96, 96))
+    obj = sl.Object(mesh)
+    # tilt by 20 deg about (1,1,0.3) so edges are NOT axis-aligned (Rodrigues)
+    ax = np.array([1.0, 1.0, 0.3])
+    ax /= np.linalg.norm(ax)
+    K = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]])
+    th = np.radians(20.0)
+    R = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R.astype(np.float32)
+    obj.set_pose(T)
+    scene.add_object(obj)
+    scene.set_camera_look_at([3.5, 0.4, 0.9], [0, 0, 0])
+    scene.light_directions = np.array([[-0.5, -0.3, -0.8]], np.float32)
+    scene.light_colors = np.array([[3.0, 3.0, 3.0]], np.float32)
+    scene.manual_exposure = 1.0
+
+    r1 = sl.RenderPass(ssao=False).render(scene)
+    r2 = sl.RenderPass(ssao=False, supersample=2).render(scene)
+
+    rgb1, rgb2 = np.asarray(r1.rgb()), np.asarray(r2.rgb())
+    assert rgb2.shape == rgb1.shape == (96, 96, 4)
+    inst2 = np.asarray(r2.instance_index())
+    assert inst2.shape == (96, 96) and inst2.dtype == np.uint16
+    assert (inst2 > 0).sum() > 200
+
+    # silhouettes agree closely (center sampling of the 2x instance grid)
+    inst1 = np.asarray(r1.instance_index())
+    iou = ((inst1 > 0) & (inst2 > 0)).sum() / ((inst1 > 0) | (inst2 > 0)).sum()
+    assert iou > 0.9, f"supersampled silhouette drifted (IoU {iou:.3f})"
+
+    # AA evidence: along the silhouette, 2x alpha takes partial-coverage
+    # values strictly between background and full coverage
+    edge = (inst2 > 0) ^ (np.roll(inst2, 1, axis=1) > 0)
+    a2 = rgb2[..., 3].astype(int)
+    partial = ((a2 > 32) & (a2 < 224) & edge).sum()
+    a1 = np.asarray(r1.rgb())[..., 3].astype(int)
+    partial1 = ((a1 > 32) & (a1 < 224) & edge).sum()
+    assert partial > partial1, (
+        f"no extra partial-coverage edge pixels at 2x ({partial} vs {partial1})"
+    )
