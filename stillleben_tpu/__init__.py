@@ -54,6 +54,7 @@ _LAZY = {
     "Viewer": (".viewer", "Viewer"),
     "render_debug_image": (".debug", "render_debug_image"),
     "generate_stream": (".parallel.batch", "generate_stream"),
+    "object_annotations": (".annotate", "object_annotations"),
     # submodules exposed as attributes
     "camera_model": (".camera_model", None),
     "diff": (".diff", None),

@@ -698,3 +698,40 @@ def test_supersample_antialiasing(cube_glb):
     assert partial > partial1, (
         f"no extra partial-coverage edge pixels at 2x ({partial} vs {partial1})"
     )
+
+
+def test_object_annotations(cube_glb):
+    """Per-object dataset annotations: poses, bboxes, pixel counts and the
+    BOP-style occlusion-aware visib_fract (front cube fully visible, back
+    cube partially hidden behind it)."""
+    mesh = sl.Mesh(cube_glb, physics=False)
+    scene = sl.Scene((96, 96))
+    front, back = sl.Object(mesh), sl.Object(mesh)
+    scene.add_object(front)
+    scene.add_object(back)
+    Tb = np.eye(4, dtype=np.float32)
+    Tb[:3, 3] = [-3.0, 1.6, 0.0]  # behind + offset so a slice peeks out
+    back.set_pose(Tb)
+    scene.set_camera_look_at([5.0, 0.0, 0.0], [0.0, 0.0, 0.0])
+    res = sl.RenderPass(ssao=False).render(scene)
+
+    anns = sl.object_annotations(scene, res)
+    assert [a["instance_index"] for a in anns] == [1, 2]
+    a_front, a_back = anns
+
+    # camera-frame pose: front cube center ~5 units along the camera ray
+    assert abs(np.linalg.norm(a_front["cam_pose"][:3, 3]) - 5.0) < 0.2
+    np.testing.assert_allclose(a_front["pose"], np.eye(4), atol=1e-6)
+
+    assert a_front["px_count_visib"] > 200
+    assert a_front["visib_fract"] > 0.999  # nothing in front of it
+    x, y, w, h = a_front["bbox"]
+    inst = np.asarray(res.instance_index())
+    ys, xs = np.nonzero(inst == 1)
+    assert (x, y) == (xs.min(), ys.min()) and (w, h) == (
+        xs.max() - xs.min() + 1, ys.max() - ys.min() + 1,
+    )
+
+    # the back cube is partially occluded: 0 < visib_fract < 0.9
+    assert a_back["px_count_all"] > a_back["px_count_visib"] > 0
+    assert 0.0 < a_back["visib_fract"] < 0.9
