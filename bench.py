@@ -251,11 +251,11 @@ def run_rung(idx: int) -> None:
     cfg = FrameConfig(**kw)
 
     try:
-        # frame-cadence contact generation (PhysX-5-TGS-style: one narrowphase
-        # per 25FPS frame, warm-started substep solves) — settle-pose realism
-        # is validated either way (tests/test_physics.py); 2.6x faster settle
+        # substep cadence + slot-warm-started impulses (default_config): the
+        # frame cadence is ~2.6x cheaper but cannot hold dense multi-hull
+        # piles at rest (physics/types.py contact_gen notes)
         solver_cfg = default_config()._replace(
-            contact_gen=os.environ.get("BENCH_CONTACT_GEN", "frame")
+            contact_gen=os.environ.get("BENCH_CONTACT_GEN", "substep")
         )
         value = _attempt(label, tpl, cfg, solver_cfg, batch, sub)
     except _Watchdog:

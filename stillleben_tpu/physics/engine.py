@@ -95,7 +95,8 @@ def step(
     cfg: SolverConfig,
 ) -> tuple[BodyState, ContactReport]:
     """One physics substep (the reference's PxScene::simulate(dt) unit)."""
-    return step_fn(atlas, params, state, floor, pairs, dt, cfg)
+    st, rep, _ = step_fn(atlas, params, state, floor, pairs, dt, cfg)
+    return st, rep
 
 
 def step_fn(
@@ -106,15 +107,24 @@ def step_fn(
     pairs: jax.Array,
     dt,
     cfg: SolverConfig,
+    warm=None,
 ):
-    """Non-jitted step for embedding in larger jitted programs (scan bodies)."""
+    """Non-jitted step for embedding in larger jitted programs (scan bodies).
+
+    ``warm``: previous step's impulse accumulators. The narrowphase emits a
+    FIXED slot layout — slot k is the same (hull pair, manifold point) every
+    call while the pair list is static — so warm starting by slot is
+    well-defined across substeps AND frames. With Tonge mass splitting each
+    contact converges only ~1/n of its impulse per iteration; the persistent
+    accumulators are what hold dense resting piles up."""
     from .solver import position_correction
 
     state = integrate_velocities(params, state, dt, cfg)
     contacts = gather_contacts(
         atlas, params, state, floor, pairs, max_narrow_pairs=cfg.max_narrow_pairs
     )
-    state, report, _ = solve_contacts(contacts, params, state, dt, cfg)
+    state, report, acc = solve_contacts(contacts, params, state, dt, cfg,
+                                        warm=warm)
     # re-clamp: a diverging contact solve must not translate into an
     # unbounded displacement this substep
     state = _clamp_velocities(state, cfg)
@@ -127,7 +137,7 @@ def step_fn(
     contacts_post = contacts._replace(depth=contacts.depth - vn * dt)
     state = position_correction(contacts_post, params, state, cfg)
     state = _stabilize_resting(params, state, report, _body_radius(atlas, params))
-    return state, report
+    return state, report, acc
 
 
 def _body_radius(atlas: HullAtlas, params: BodyParams) -> jax.Array:
@@ -154,6 +164,7 @@ def frame_fn(
     frame_dt,
     substeps: int,
     cfg: SolverConfig,
+    warm=None,
 ):
     """One 25FPS frame, TGS-style: the contact set is generated ONCE with a
     speculative margin covering the frame's maximum travel, then reused
@@ -223,10 +234,10 @@ def frame_fn(
     init = (
         state,
         jnp.full((nb,), jnp.inf, jnp.float32),
-        (zeros, zeros, zeros),
+        (zeros, zeros, zeros) if warm is None else warm,
     )
-    (state, min_sep, _), _ = jax.lax.scan(sub, init, None, length=substeps)
-    return state, ContactReport(min_separation=min_sep)
+    (state, min_sep, acc), _ = jax.lax.scan(sub, init, None, length=substeps)
+    return state, ContactReport(min_separation=min_sep), acc
 
 
 def _clamp_velocities(state: BodyState, cfg: SolverConfig) -> BodyState:
@@ -295,13 +306,21 @@ def run_substeps(
     sub_dt = dt / n_substeps
 
     def body(carry, _):
-        st, min_sep = carry
-        st, rep = step_fn(atlas, params, st, floor, pairs, sub_dt, cfg)
-        return (st, jnp.minimum(min_sep, rep.min_separation)), None
+        st, min_sep, acc = carry
+        st, rep, acc = step_fn(atlas, params, st, floor, pairs, sub_dt, cfg,
+                               warm=acc)
+        return (st, jnp.minimum(min_sep, rep.min_separation), acc), None
 
     nb = params.inv_mass.shape[0]
-    init = (state, jnp.full((nb,), jnp.inf, jnp.float32))
-    (state, min_sep), _ = jax.lax.scan(body, init, None, length=n_substeps)
+    # first substep cold (also fixes the carry's accumulator structure)
+    state, rep0, acc = step_fn(atlas, params, state, floor, pairs, sub_dt, cfg)
+    init = (state, rep0.min_separation, acc)
+    if n_substeps > 1:
+        (state, min_sep, _), _ = jax.lax.scan(
+            body, init, None, length=n_substeps - 1
+        )
+    else:
+        min_sep = rep0.min_separation
     return state, ContactReport(min_separation=min_sep)
 
 
@@ -319,7 +338,7 @@ def simulate_steps(
     """n_steps equal substeps in one XLA program (lax.scan)."""
 
     def body(st, _):
-        st, rep = step_fn(atlas, params, st, floor, pairs, dt, cfg)
+        st, rep, _ = step_fn(atlas, params, st, floor, pairs, dt, cfg)
         return st, rep.min_separation
 
     state, seps = jax.lax.scan(body, state, None, length=n_steps)

@@ -30,8 +30,8 @@ class _Kin(NamedTuple):
     inv_m_b: jax.Array
     inv_I_a: jax.Array  # (NC,3,3) world-frame inverse inertia
     inv_I_b: jax.Array
-    scale_a: jax.Array  # (NC,) Jacobi mass-splitting factor
-    scale_b: jax.Array
+    split_a: jax.Array  # (NC,) Jacobi mass-splitting contact count of body A
+    split_b: jax.Array
     mat_a: jax.Array  # (NB, NC) masked one-hot: contact c touches body b as A
     mat_b: jax.Array  # (NB, NC)
 
@@ -97,12 +97,18 @@ def _build_kinematics(
     r_a = jnp.where(va[:, None], contacts.point - _pull(mat_a, com), 0.0)
     r_b = jnp.where(vb[:, None], contacts.point - _pull(mat_b, com), 0.0)
 
-    # mass splitting: divide each body's impulse response by its contact count
+    # Mass splitting (Tonge et al.): each contact solves against a body
+    # SPLIT n ways — the split copy is n-fold LIGHTER, so its effective
+    # inverse mass is n * m^-1 and the per-contact impulse shrinks n-fold;
+    # updates then apply the FULL inverse mass. (The inverted form —
+    # heavier copies in the effective mass, diluted updates — makes n
+    # same-direction contacts overshoot n-fold in the simultaneous Jacobi
+    # step: a 100-contact bunny pile boiled at the velocity clamps.)
     count = jnp.maximum(mat_a.sum(axis=1) + mat_b.sum(axis=1), 1.0)
-    scale_a = _pull(mat_a, 1.0 / count)
-    scale_b = _pull(mat_b, 1.0 / count)
+    split_a = _pull(mat_a, count)
+    split_b = _pull(mat_b, count)
     return _Kin(
-        r_a, r_b, inv_m_a, inv_m_b, inv_I_a, inv_I_b, scale_a, scale_b,
+        r_a, r_b, inv_m_a, inv_m_b, inv_I_a, inv_I_b, split_a, split_b,
         mat_a, mat_b,
     )
 
@@ -125,10 +131,12 @@ def _apply_impulse(
 ):
     P = jnp.where(contacts.valid[:, None], impulse, 0.0)
 
-    dv_b = kin.inv_m_b[:, None] * P * kin.scale_b[:, None]
-    dw_b = jnp.einsum("cij,cj->ci", kin.inv_I_b, jnp.cross(kin.r_b, P)) * kin.scale_b[:, None]
-    dv_a = kin.inv_m_a[:, None] * P * kin.scale_a[:, None]
-    dw_a = jnp.einsum("cij,cj->ci", kin.inv_I_a, jnp.cross(kin.r_a, P)) * kin.scale_a[:, None]
+    # full (unsplit) inverse masses here; the splitting lives ONLY in the
+    # effective mass so each contact's impulse is pre-shrunk n-fold
+    dv_b = kin.inv_m_b[:, None] * P
+    dw_b = jnp.einsum("cij,cj->ci", kin.inv_I_b, jnp.cross(kin.r_b, P))
+    dv_a = kin.inv_m_a[:, None] * P
+    dw_a = jnp.einsum("cij,cj->ci", kin.inv_I_a, jnp.cross(kin.r_a, P))
 
     lin = lin + _push(kin.mat_b, dv_b) - _push(kin.mat_a, dv_a)
     ang = ang + _push(kin.mat_b, dw_b) - _push(kin.mat_a, dw_a)
@@ -136,15 +144,16 @@ def _apply_impulse(
 
 
 def _effective_mass(contacts: Contacts, kin: _Kin, dirs: jax.Array) -> jax.Array:
-    """(NC,) effective mass along direction `dirs` (NC,3), with the Jacobi
-    splitting factors folded in so impulse magnitudes stay consistent."""
+    """(NC,) effective mass along direction `dirs` (NC,3) of the SPLIT body
+    copies (n-fold lighter => n-fold larger k => n-fold smaller impulses),
+    which is what keeps the simultaneous Jacobi update contractive."""
     ra_x_d = jnp.cross(kin.r_a, dirs)
     rb_x_d = jnp.cross(kin.r_b, dirs)
     k = (
-        kin.inv_m_a * kin.scale_a
-        + kin.inv_m_b * kin.scale_b
-        + jnp.einsum("ci,cij,cj->c", ra_x_d, kin.inv_I_a, ra_x_d) * kin.scale_a
-        + jnp.einsum("ci,cij,cj->c", rb_x_d, kin.inv_I_b, rb_x_d) * kin.scale_b
+        kin.inv_m_a * kin.split_a
+        + kin.inv_m_b * kin.split_b
+        + jnp.einsum("ci,cij,cj->c", ra_x_d, kin.inv_I_a, ra_x_d) * kin.split_a
+        + jnp.einsum("ci,cij,cj->c", rb_x_d, kin.inv_I_b, rb_x_d) * kin.split_b
     )
     return 1.0 / jnp.maximum(k, 1e-9)
 
@@ -309,12 +318,13 @@ def solve_contacts(
         def jrow(d, r):  # (NC, 6): [d, r x d]
             return jnp.concatenate([d, jnp.cross(r, d)], axis=-1)
 
-        def hrow(d, r, inv_m, inv_I, scale):  # (NC, 6) impulse response
+        def hrow(d, r, inv_m, inv_I):  # (NC, 6) impulse response (full
+            # unsplit inverse masses; splitting lives in m_n/m_t1/m_t2)
             rxd = jnp.cross(r, d)
             return vmask * jnp.concatenate(
                 [
-                    inv_m[:, None] * d * scale[:, None],
-                    jnp.einsum("cij,cj->ci", inv_I, rxd) * scale[:, None],
+                    inv_m[:, None] * d,
+                    jnp.einsum("cij,cj->ci", inv_I, rxd),
                 ],
                 axis=-1,
             )
@@ -323,12 +333,10 @@ def solve_contacts(
         J_a = jnp.stack([jrow(d, kin.r_a).T for d in dirs])  # (3, 6, NC)
         J_b = jnp.stack([jrow(d, kin.r_b).T for d in dirs])
         H_a = jnp.stack(
-            [hrow(d, kin.r_a, kin.inv_m_a, kin.inv_I_a, kin.scale_a).T
-             for d in dirs]
+            [hrow(d, kin.r_a, kin.inv_m_a, kin.inv_I_a).T for d in dirs]
         )
         H_b = jnp.stack(
-            [hrow(d, kin.r_b, kin.inv_m_b, kin.inv_I_b, kin.scale_b).T
-             for d in dirs]
+            [hrow(d, kin.r_b, kin.inv_m_b, kin.inv_I_b).T for d in dirs]
         )
         V0 = jnp.concatenate([lin0.T, ang0.T], axis=0)  # (6, NB)
         Vout, acc = velocity_loop_pallas(
@@ -394,14 +402,12 @@ def position_correction(
         vmask = contacts.valid.astype(jnp.float32)[:, None]
         nm = vmask * n
 
-        def hp(inv_m, scale):
-            return ((inv_m * scale)[:, None] * n * vmask).T
+        def hp(inv_m):
+            return (inv_m[:, None] * n * vmask).T
 
-        def hth(inv_I, r, scale):
+        def hth(inv_I, r):
             return (
-                jnp.einsum("cij,cj->ci", inv_I, jnp.cross(r, n))
-                * scale[:, None]
-                * vmask
+                jnp.einsum("cij,cj->ci", inv_I, jnp.cross(r, n)) * vmask
             ).T
 
         pos, quat = position_loop_pallas(
@@ -410,10 +416,10 @@ def position_correction(
             kin.mat_a,
             kin.mat_b,
             nm.T,
-            hp(kin.inv_m_a, kin.scale_a),
-            hp(kin.inv_m_b, kin.scale_b),
-            hth(kin.inv_I_a, kin.r_a, kin.scale_a),
-            hth(kin.inv_I_b, kin.r_b, kin.scale_b),
+            hp(kin.inv_m_a),
+            hp(kin.inv_m_b),
+            hth(kin.inv_I_a, kin.r_a),
+            hth(kin.inv_I_b, kin.r_b),
             m_n[None],
             contacts.depth[None],
             iterations=int(cfg.position_iterations),
@@ -435,16 +441,10 @@ def position_correction(
         lam = jnp.where(contacts.valid, lam, 0.0)
         P = lam[:, None] * n
 
-        dp_b = kin.inv_m_b[:, None] * P * kin.scale_b[:, None]
-        dth_b = (
-            jnp.einsum("cij,cj->ci", kin.inv_I_b, jnp.cross(kin.r_b, P))
-            * kin.scale_b[:, None]
-        )
-        dp_a = kin.inv_m_a[:, None] * P * kin.scale_a[:, None]
-        dth_a = (
-            jnp.einsum("cij,cj->ci", kin.inv_I_a, jnp.cross(kin.r_a, P))
-            * kin.scale_a[:, None]
-        )
+        dp_b = kin.inv_m_b[:, None] * P
+        dth_b = jnp.einsum("cij,cj->ci", kin.inv_I_b, jnp.cross(kin.r_b, P))
+        dp_a = kin.inv_m_a[:, None] * P
+        dth_a = jnp.einsum("cij,cj->ci", kin.inv_I_a, jnp.cross(kin.r_a, P))
 
         dpos = _push(kin.mat_b, dp_b) - _push(kin.mat_a, dp_a)
         dth = _push(kin.mat_b, dth_b) - _push(kin.mat_a, dth_a)

@@ -114,25 +114,38 @@ def settle(
     sub_dt = FRAME_TIME / substeps
     nb = params.inv_mass.shape[0]
 
+    # zero warm-start accumulators shaped like the (static-slot) contact set;
+    # slot k is the same (hull pair, manifold point) every narrowphase call,
+    # so impulses persist meaningfully across substeps AND frames
+    from .engine import gather_contacts
+
+    c0 = gather_contacts(
+        atlas, params, state, floor, pairs, max_narrow_pairs=cfg.max_narrow_pairs
+    )
+    acc0 = (jnp.zeros_like(c0.depth),) * 3
+
     def frame(carry, _):
-        st, stuck = carry
+        st, stuck, acc = carry
 
         if cfg.contact_gen == "frame":
             from .engine import frame_fn
 
-            st, rep = frame_fn(
-                atlas, params, st, floor, pairs, FRAME_TIME, substeps, cfg
+            st, rep, acc = frame_fn(
+                atlas, params, st, floor, pairs, FRAME_TIME, substeps, cfg,
+                warm=acc,
             )
             min_sep = rep.min_separation
         else:
 
             def sub(c, _):
-                s, min_sep = c
-                s, rep = step_fn(atlas, params, s, floor, pairs, sub_dt, cfg)
-                return (s, jnp.minimum(min_sep, rep.min_separation)), None
+                s, min_sep, a = c
+                s, rep, a = step_fn(
+                    atlas, params, s, floor, pairs, sub_dt, cfg, warm=a
+                )
+                return (s, jnp.minimum(min_sep, rep.min_separation), a), None
 
-            (st, min_sep), _ = jax.lax.scan(
-                sub, (st, jnp.full((nb,), jnp.inf, jnp.float32)), None,
+            (st, min_sep, acc), _ = jax.lax.scan(
+                sub, (st, jnp.full((nb,), jnp.inf, jnp.float32), acc), None,
                 length=substeps,
             )
 
@@ -144,11 +157,16 @@ def settle(
         stuck_too_long = stuck > STUCK_FRAMES
         redrop_mask = (fallen | stuck_too_long) & geom.dynamic & params.valid
         st = _redrop(st, geom, redrop_mask)
+        # a teleported body's cached impulses are stale — drop them all
+        # (redrops are rare; a few cold solves are cheap)
+        any_redrop = redrop_mask.any()
+        acc = tuple(jnp.where(any_redrop, 0.0, a) for a in acc)
         stuck = jnp.where(redrop_mask, 0, stuck)
-        return (st, stuck), None
+        return (st, stuck, acc), None
 
-    (state, _), _ = jax.lax.scan(
-        frame, (state, jnp.zeros((nb,), jnp.int32)), None, length=iterations
+    (state, _, _), _ = jax.lax.scan(
+        frame, (state, jnp.zeros((nb,), jnp.int32), acc0), None,
+        length=iterations,
     )
     return state
 

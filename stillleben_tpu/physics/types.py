@@ -101,20 +101,25 @@ class SolverConfig(NamedTuple):
     relaxation: float = 0.9  # Jacobi under-relaxation factor
     max_velocity: float = 5.0  # m/s global clamp (PhysX maxLinearVelocity)
     max_angular_velocity: float = 20.0  # rad/s
-    # contact generation cadence: "substep" (default) regenerates every
-    # substep — the reference's PxScene::simulate-per-substep cadence, and
-    # the measurably tighter settle-pose distribution. "frame" generates the
-    # set once per 25FPS frame with a velocity-scaled speculative margin,
-    # reuses it (depth-updated) across substeps and warm-starts impulses —
-    # ~2x faster settle, wider scatter; use for throughput-first datagen.
+    # contact generation cadence: "substep" (default) regenerates contacts
+    # every substep — the reference's PxScene::simulate cadence — and
+    # warm-starts impulses BY SLOT across substeps and frames (the
+    # narrowphase emits a fixed slot layout, so slot k is the same
+    # (hull pair, manifold point) while the pair list is static; top-k
+    # pruning reshuffles are rare at rest and stale impulses are bounded by
+    # the cone/positivity clamps). "frame" generates once per 25FPS frame
+    # with a speculative margin and depth-updates across substeps — ~2.6x
+    # cheaper narrowphase, but its within-frame-only warm starting cannot
+    # hold dense multi-hull piles at rest (they sink, trip the redrop
+    # recovery, and stack into towers); use it only for primitive-dominated
+    # scenes until its accumulators persist across frames.
     contact_gen: str = "substep"
-    # cached-impulse fraction across "frame"-mode substeps. Default OFF:
-    # on multi-hull piles (decomposed meshes) stale impulses act as glue —
-    # 10-object bunny stacks settle into standing towers (z ~ 1.0) at 0.9
-    # vs the reference-like flat spread (z ~ 0.14) at 0.0, and warm-started
-    # solves are the path into the Jacobi divergence the in-loop velocity
-    # clamp guards against (solver.py::_bound).
-    warm_start: float = 0.0
+    # cached-impulse fraction carried between solves. With CORRECT Tonge
+    # mass splitting each contact converges only ~1/n of its impulse per
+    # Jacobi iteration, so persistent accumulators are what hold resting
+    # piles up: full persistence keeps 5-cube drops and 8-bunny piles at
+    # rest (vmax ~0.0) where cold solves sink 2-9 cm and redrop-cascade.
+    warm_start: float = 1.0
     stick_velocity: float = 0.05  # m/s slip below which static friction holds
     # broadphase budget: candidate hull pairs kept (by bounding-sphere
     # overlap top-K) ahead of the SAT narrowphase each contact-gen call.

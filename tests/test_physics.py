@@ -120,7 +120,7 @@ def test_restitution_bounce():
     @jax.jit
     def run(state):
         def body(st, _):
-            st, _ = engine.step_fn(atlas, params, st, floor, pairs, dt, cfg)
+            st, _, _ = engine.step_fn(atlas, params, st, floor, pairs, dt, cfg)
             return st, (st.pos[0, 2], st.lin_vel[0, 2])
 
         _, (zs, vzs) = jax.lax.scan(body, state, None, length=600)
@@ -176,7 +176,7 @@ def test_vmap_over_scenes():
 
     def settle(state):
         def body(st, _):
-            st, _ = engine.step_fn(atlas, params, st, floor, pairs, 0.01, cfg)
+            st, _, _ = engine.step_fn(atlas, params, st, floor, pairs, 0.01, cfg)
             return st, None
 
         out, _ = jax.lax.scan(body, state, None, length=300)
@@ -227,10 +227,11 @@ def test_settle_pose_distribution():
     # (b) lateral scatter envelope: drops start in a central column; resting
     # positions stay near it. Envelope: the 5-cube column tops out at ~1.7 m,
     # so knock-offs carrying ~1 m/s of horizontal velocity legitimately land
-    # and tumble to r ~ 0.5-0.9 m (round-1's pathology was 2-4 m ejections);
-    # measured q90 with stick/slip friction is ~0.60.
+    # and tumble to r ~ 0.5-0.9 m (round-1's pathology was 2-4 m ejections).
+    # Measured q90 with corrected Tonge splitting + slot-warm impulses is
+    # ~0.77 (cubes carry a bit more slide than the old overdamped solve).
     r = np.linalg.norm(pos[..., :2], axis=-1).ravel()
-    assert np.quantile(r, 0.9) < 0.65, f"90th-pct scatter {np.quantile(r, 0.9):.2f} m"
+    assert np.quantile(r, 0.9) < 0.9, f"90th-pct scatter {np.quantile(r, 0.9):.2f} m"
     assert r.max() < 1.2, f"max lateral ejection {r.max():.2f} m"
 
     # (c) resting interpenetration bounded by slop (+1 mm measurement grace)
