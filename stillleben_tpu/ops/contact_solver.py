@@ -68,9 +68,12 @@ def _kernel(
     Ha = H_a_ref[...]
     Hb = H_b_ref[...]
     m3 = m_ref[...]
-    tgt = tgt_ref[0]
-    mu_d = mu_d_ref[0]
-    mu_s = mu_s_ref[0]
+    # Everything below stays RANK-2 ((1, NC) rows, never (NC,)) — Mosaic's
+    # vector layouts are 2-D-minimum and 1-D intermediates abort the
+    # compiler (layout.h: arr.size() >= layout_rank).
+    tgt = tgt_ref[0:1]    # (1, NC)
+    mu_d = mu_d_ref[0:1]
+    mu_s = mu_s_ref[0:1]
     acc0 = acc0_ref[...]
 
     dn = (((1,), (0,)), ((), ()))  # contract dim1 of lhs with dim0 of rhs
@@ -79,16 +82,16 @@ def _kernel(
         return jax.lax.dot_general(a, b, dimension_numbers=dn,
                                    preferred_element_type=jnp.float32)
 
-    def vel_along(V, d):  # (NC,) relative velocity along direction d
+    def vel_along(V, d):  # (1, NC) relative velocity along direction d
         Va = dot(V, mat_a)  # (6, NC)
         Vb = dot(V, mat_b)
-        return jnp.sum(Jb[d] * Vb - Ja[d] * Va, axis=0)
+        return jnp.sum(Jb[d] * Vb - Ja[d] * Va, axis=0, keepdims=True)
 
-    def push(V, d, dl):  # apply scalar impulses dl (NC,) along direction d
+    def push(V, d, dl):  # apply scalar impulses dl (1, NC) along direction d
         return (
             V
-            + dot(Hb[d] * dl[None, :], matt_b)
-            - dot(Ha[d] * dl[None, :], matt_a)
+            + dot(Hb[d] * dl, matt_b)
+            - dot(Ha[d] * dl, matt_a)
         )
 
     def bound(V):
@@ -111,7 +114,7 @@ def _kernel(
         V, acc_n, acc_t1, acc_t2 = carry
 
         vn = vel_along(V, 0)
-        d_n = relax * (tgt - vn) * m3[0]
+        d_n = relax * (tgt - vn) * m3[0:1]
         new_acc_n = jnp.maximum(acc_n + d_n, 0.0)
         V = push(V, 0, new_acc_n - acc_n)
 
@@ -122,22 +125,22 @@ def _kernel(
         mu = jnp.where(slip2 < stick_vel2, mu_s, mu_d)
         max_f = mu * new_acc_n
 
-        d_t1 = -vt1 * m3[1]
+        d_t1 = -vt1 * m3[1:2]
         new_acc_t1 = jnp.clip(acc_t1 + d_t1, -max_f, max_f)
         V = push(V, 1, new_acc_t1 - acc_t1)
 
         vt2 = vel_along(V, 2)
-        d_t2 = -vt2 * m3[2]
+        d_t2 = -vt2 * m3[2:3]
         new_acc_t2 = jnp.clip(acc_t2 + d_t2, -max_f, max_f)
         V = push(V, 2, new_acc_t2 - acc_t2)
 
         return bound(V), new_acc_n, new_acc_t1, new_acc_t2
 
     V, acc_n, acc_t1, acc_t2 = jax.lax.fori_loop(
-        0, iterations, body, (V0, acc0[0], acc0[1], acc0[2])
+        0, iterations, body, (V0, acc0[0:1], acc0[1:2], acc0[2:3])
     )
     v_out_ref[...] = V
-    acc_out_ref[...] = jnp.stack([acc_n, acc_t1, acc_t2], axis=0)
+    acc_out_ref[...] = jnp.concatenate([acc_n, acc_t1, acc_t2], axis=0)
 
 
 @functools.partial(
@@ -223,8 +226,9 @@ def _pos_kernel(
     hp_b = hp_b_ref[...]
     hth_a = hth_a_ref[...]
     hth_b = hth_b_ref[...]
-    m_n = m_ref[0]
-    depth = depth_ref[0]
+    # rank-2 everywhere (see _kernel): (1, NC)/(1, NB) rows, never 1-D
+    m_n = m_ref[0:1]      # (1, NC)
+    depth = depth_ref[0:1]
 
     dn = (((1,), (0,)), ((), ()))
 
@@ -235,27 +239,27 @@ def _pos_kernel(
     def body(_, carry):
         pos, quat, corrected = carry
         pen = jnp.minimum(jnp.maximum(depth - corrected - slop, 0.0), max_step)
-        lam = gain * pen * m_n  # (NC,); m_n = 0 masks invalid contacts
+        lam = gain * pen * m_n  # (1, NC); m_n = 0 masks invalid contacts
 
-        dpos = dot(hp_b * lam[None, :], matt_b) - dot(hp_a * lam[None, :], matt_a)
-        dth = dot(hth_b * lam[None, :], matt_b) - dot(hth_a * lam[None, :], matt_a)
+        dpos = dot(hp_b * lam, matt_b) - dot(hp_a * lam, matt_a)
+        dth = dot(hth_b * lam, matt_b) - dot(hth_a * lam, matt_a)
 
         pos = pos + dpos
 
         # quat += 0.5 * [0, dth] (x) quat, renormalized — (4, NB) layout
-        w, x, y, z = quat[0], quat[1], quat[2], quat[3]
-        ox, oy, oz = dth[0], dth[1], dth[2]
+        w, x, y, z = quat[0:1], quat[1:2], quat[2:3], quat[3:4]
+        ox, oy, oz = dth[0:1], dth[1:2], dth[2:3]
         dq_w = 0.5 * (-ox * x - oy * y - oz * z)
         dq_x = 0.5 * (ox * w + oy * z - oz * y)
         dq_y = 0.5 * (-ox * z + oy * w + oz * x)
         dq_z = 0.5 * (ox * y - oy * x + oz * w)
-        q = jnp.stack([w + dq_w, x + dq_x, y + dq_y, z + dq_z], axis=0)
+        q = jnp.concatenate([w + dq_w, x + dq_x, y + dq_y, z + dq_z], axis=0)
         q = q / jnp.maximum(
             jnp.sqrt(jnp.sum(q * q, axis=0, keepdims=True)), 1e-12
         )
 
-        corr_b = jnp.sum(dot(dpos, mat_b) * nrm, axis=0)
-        corr_a = jnp.sum(dot(dpos, mat_a) * nrm, axis=0)
+        corr_b = jnp.sum(dot(dpos, mat_b) * nrm, axis=0, keepdims=True)
+        corr_a = jnp.sum(dot(dpos, mat_a) * nrm, axis=0, keepdims=True)
         corrected = corrected + (corr_b - corr_a)
         return pos, q, corrected
 

@@ -98,7 +98,8 @@ def _eval_chunk(G, ids, md, i, *, near, far, tw, tile):
 def _kernel(off_ref, occ_ref, g_ref, ids_ref, md_ref, w_ref, t_ref, *, near,
             far, tw, tile):
     pix_n = tile * tile
-    i = pl.program_id(0) + off_ref[0]  # global tile id (slab offset in SMEM)
+    i_loc = pl.program_id(0)
+    i = i_loc + off_ref[0]  # global tile id (slab offset in SMEM)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -109,7 +110,9 @@ def _kernel(off_ref, occ_ref, g_ref, ids_ref, md_ref, w_ref, t_ref, *, near,
     # Occupancy skip: most (tile, chunk) cells in sparse regions carry only
     # masked (-1) slots — the whole edge/z-buffer evaluation is predicated
     # off for them (the splat classes empty nearly every shadow-pass tile).
-    @pl.when(occ_ref[0, 0] > 0)
+    # The flags live as ONE flat i32 array in SMEM (Mosaic rejects blocked
+    # sub-(8,128) SMEM operands) indexed by (tile, chunk) arithmetically.
+    @pl.when(occ_ref[i_loc * pl.num_programs(1) + j] > 0)
     def _work():
         bw, bt = _eval_chunk(
             g_ref[0, 0], ids_ref[0, 0, 0], md_ref[0, 0], i,
@@ -123,8 +126,10 @@ def _kernel(off_ref, occ_ref, g_ref, ids_ref, md_ref, w_ref, t_ref, *, near,
 def _kernel_grouped(off_ref, occ_ref, g_ref, ids_ref, md_ref, w_ref, t_ref,
                     *, near, far, tw, tile, tpg):
     pix_n = tile * tile
-    base = (pl.program_id(0) * tpg) + off_ref[0]
+    i_loc = pl.program_id(0)
+    base = (i_loc * tpg) + off_ref[0]
     j = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
 
     for t in range(tpg):  # static unroll: one DMA'd slab, TPG tile evals
 
@@ -133,7 +138,7 @@ def _kernel_grouped(off_ref, occ_ref, g_ref, ids_ref, md_ref, w_ref, t_ref,
             w_ref[0, t] = jnp.full((pix_n,), jnp.inf, jnp.float32)
             t_ref[0, t] = jnp.full((pix_n,), -1, jnp.int32)
 
-        @pl.when(occ_ref[0, t, 0] > 0)
+        @pl.when(occ_ref[(i_loc * tpg + t) * n_chunks + j] > 0)
         def _work(t=t):
             bw, bt = _eval_chunk(
                 g_ref[0, t, 0], ids_ref[0, t, 0, 0], md_ref[0, t], base + t,
@@ -167,7 +172,9 @@ def fine_raster_pallas(
     n_tiles, n_chunks = G.shape[0], G.shape[1]
     if tile_offset is None:
         tile_offset = jnp.zeros((1,), jnp.int32)
-    # per-cell occupancy for the kernel's predication (any unmasked slot?)
+    # per-cell occupancy for the kernel's predication (any unmasked slot?);
+    # kept FLAT in SMEM — Mosaic rejects blocked SMEM operands whose trailing
+    # dims are neither (8,128)-divisible nor equal to the array dims
     occ = (ids >= 0).any(-1).astype(jnp.int32)  # (n_tiles, n_chunks)
     # TPU block constraints: the LAST TWO dims of each block must be
     # (divisible by 8, divisible by 128) or equal to the array dims — give
@@ -184,8 +191,7 @@ def fine_raster_pallas(
             grid=(n_tiles, n_chunks),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # tile_offset scalar
-                pl.BlockSpec((1, 1), lambda i, j: (i, j),
-                             memory_space=pltpu.SMEM),  # occupancy flag
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # flat occupancy flags
                 pl.BlockSpec((1, 1, FIELDS, chunk), lambda i, j: (i, j, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, 1, chunk), lambda i, j: (i, j, 0, 0),
@@ -204,7 +210,7 @@ def fine_raster_pallas(
                 jax.ShapeDtypeStruct((n_tiles, 1, PIX), jnp.int32),
             ),
             interpret=interpret,
-        )(tile_offset, occ, G, ids4, md3)
+        )(tile_offset, occ.reshape(-1), G, ids4, md3)
         return w[:, 0], t[:, 0]
 
     # grouped layout: pad the tile axis to a TPG multiple, add a group axis
@@ -230,8 +236,7 @@ def fine_raster_pallas(
         grid=(ng, n_chunks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tpg, 1), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # flat occupancy flags
             pl.BlockSpec((1, tpg, 1, FIELDS, chunk),
                          lambda i, j: (i, 0, j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -251,7 +256,7 @@ def fine_raster_pallas(
             jax.ShapeDtypeStruct((ng, tpg, PIX), jnp.int32),
         ),
         interpret=interpret,
-    )(tile_offset, occg, Gg, idsg, mdg)
+    )(tile_offset, occg.reshape(-1), Gg, idsg, mdg)
     w = w.reshape(ng * tpg, PIX)[:n_tiles]
     t = t.reshape(ng * tpg, PIX)[:n_tiles]
     return w, t

@@ -71,7 +71,8 @@ def run_config(name: str, over: dict) -> dict:
     try:
         proc = subprocess.run(
             [sys.executable, "-u", os.path.join(REPO, "bench.py"),
-             "--rung", "0"],
+             "--rung", "1"],  # rung 1 = "full": measures with our env
+            # overrides applied; rung 0 ("tuned") exit(4)s without TUNED.json
             capture_output=True, text=True, timeout=BUDGET,
             cwd=REPO, env=env,
         )
