@@ -110,9 +110,13 @@ def _kernel(off_ref, occ_ref, g_ref, ids_ref, md_ref, w_ref, t_ref, *, near,
     # Occupancy skip: most (tile, chunk) cells in sparse regions carry only
     # masked (-1) slots — the whole edge/z-buffer evaluation is predicated
     # off for them (the splat classes empty nearly every shadow-pass tile).
-    # The flags live as ONE flat i32 array in SMEM (Mosaic rejects blocked
-    # sub-(8,128) SMEM operands) indexed by (tile, chunk) arithmetically.
-    @pl.when(occ_ref[i_loc * pl.num_programs(1) + j] > 0)
+    # The flags live as ONE (1, n_cells) i32 array in SMEM indexed by
+    # (tile, chunk) arithmetically. The leading unit row keeps the operand
+    # legal under vmap: batching turns a flat (n_cells,) array into a
+    # (Squeezed, Blocked(n_cells)) block whose second-minor dim (1 vs B) is
+    # neither 8-divisible nor equal to the array dim — Mosaic rejects it —
+    # while (B, 1, n_cells) blocks to the array's own trailing (1, n_cells).
+    @pl.when(occ_ref[0, i_loc * pl.num_programs(1) + j] > 0)
     def _work():
         bw, bt = _eval_chunk(
             g_ref[0, 0], ids_ref[0, 0, 0], md_ref[0, 0], i,
@@ -138,7 +142,7 @@ def _kernel_grouped(off_ref, occ_ref, g_ref, ids_ref, md_ref, w_ref, t_ref,
             w_ref[0, t] = jnp.full((pix_n,), jnp.inf, jnp.float32)
             t_ref[0, t] = jnp.full((pix_n,), -1, jnp.int32)
 
-        @pl.when(occ_ref[(i_loc * tpg + t) * n_chunks + j] > 0)
+        @pl.when(occ_ref[0, (i_loc * tpg + t) * n_chunks + j] > 0)
         def _work(t=t):
             bw, bt = _eval_chunk(
                 g_ref[0, t, 0], ids_ref[0, t, 0, 0], md_ref[0, t], base + t,
@@ -173,8 +177,8 @@ def fine_raster_pallas(
     if tile_offset is None:
         tile_offset = jnp.zeros((1,), jnp.int32)
     # per-cell occupancy for the kernel's predication (any unmasked slot?);
-    # kept FLAT in SMEM — Mosaic rejects blocked SMEM operands whose trailing
-    # dims are neither (8,128)-divisible nor equal to the array dims
+    # kept as ONE (1, n_cells) row in SMEM — see the kernel comment for why
+    # the leading unit row is required for vmap (render_sub_batch) safety
     occ = (ids >= 0).any(-1).astype(jnp.int32)  # (n_tiles, n_chunks)
     # TPU block constraints: the LAST TWO dims of each block must be
     # (divisible by 8, divisible by 128) or equal to the array dims — give
@@ -210,7 +214,7 @@ def fine_raster_pallas(
                 jax.ShapeDtypeStruct((n_tiles, 1, PIX), jnp.int32),
             ),
             interpret=interpret,
-        )(tile_offset, occ.reshape(-1), G, ids4, md3)
+        )(tile_offset, occ.reshape(1, -1), G, ids4, md3)
         return w[:, 0], t[:, 0]
 
     # grouped layout: pad the tile axis to a TPG multiple, add a group axis
@@ -256,7 +260,7 @@ def fine_raster_pallas(
             jax.ShapeDtypeStruct((ng, tpg, PIX), jnp.int32),
         ),
         interpret=interpret,
-    )(tile_offset, occg.reshape(-1), Gg, idsg, mdg)
+    )(tile_offset, occg.reshape(1, -1), Gg, idsg, mdg)
     w = w.reshape(ng * tpg, PIX)[:n_tiles]
     t = t.reshape(ng * tpg, PIX)[:n_tiles]
     return w, t

@@ -94,6 +94,26 @@ for tile in (16, 64):
 """,
     ),
     (
+        # the bench renders under vmap (render_sub_batch): vmap batches every
+        # pallas_call operand, incl. the SMEM occupancy row — a layout that
+        # only works unbatched has slipped through smoke before (r3)
+        "fine_raster_vmap",
+        """
+import numpy as np
+from stillleben_tpu.ops.fine_raster import fine_raster_pallas, FIELDS
+rng = np.random.default_rng(0)
+for tpg in (1, 4):
+    G = jnp.asarray(rng.normal(size=(3, 4, 2, FIELDS, 128)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(-1, 50, size=(3, 4, 2, 128)).astype(np.int32))
+    md = jnp.zeros((3, 4, 256), jnp.float32)
+    f = lambda g, i, m: fine_raster_pallas(
+        g, i, m, 0.1, 10.0, 128, 2, tile=16, tiles_per_cell=tpg)
+    w, t = jax.vmap(f)(G, ids, md)
+    jax.block_until_ready((w, t))
+    print('fine_raster_vmap ok tpg', tpg)
+""",
+    ),
+    (
         "flat_render",
         """
 import stillleben_tpu as sl
