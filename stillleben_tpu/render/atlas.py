@@ -15,6 +15,7 @@ Split:
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -59,6 +60,16 @@ class SceneAtlas(NamedTuple):
     faces: jax.Array  # (FI, 3) i32 into instanced vertex arrays
     face_obj: jax.Array  # (FI,) i32
     face_mat: jax.Array  # (FI,) i32 into material table
+
+    # shadow-caster proxy geometry: dense scanned meshes are decimated
+    # (assets/decimate.py vertex clustering, SL_SHADOW_PROXY target) for the
+    # depth-only shadow passes — the VSM/PCF prefilter low-passes silhouettes
+    # below the proxy's cell size anyway. Identical to the render arrays when
+    # every mesh is already under the target (or SL_SHADOW_PROXY=0).
+    shadow_positions: jax.Array  # (VS, 3) f32 RAW mesh-frame positions
+    shadow_vert_obj: jax.Array  # (VS,) i32
+    shadow_faces: jax.Array  # (FS, 3) i32
+    shadow_face_obj: jax.Array  # (FS,) i32
 
     # material table (NM entries)
     mat_base_color: jax.Array  # (NM, 4) f32 (linear)
@@ -198,6 +209,10 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
     """
     pos_l, nrm_l, uv_l, col_l, tan_l, vid_l, vobj_l = [], [], [], [], [], [], []
     face_l, fobj_l, fmat_l = [], [], []
+    spos_l, svobj_l, sface_l, sfobj_l = [], [], [], []  # shadow proxy
+    sv_off = 0
+    proxy_target = int(os.environ.get("SL_SHADOW_PROXY", "8192"))
+    proxy_cache: dict[tuple, tuple] = {}
     mats = []  # list of dicts
     raw_textures: list[np.ndarray] = []
     tex_cache: dict[int, int] = {}
@@ -314,6 +329,24 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
         obj_class.append(obj.mesh.class_index)
         v_off += nv
 
+        # shadow-caster proxy (identity below the decimation target)
+        ck = (id(c), proxy_target)
+        if ck not in proxy_cache:
+            if proxy_target > 0:
+                from ..assets.decimate import decimate_faces
+
+                proxy_cache[ck] = decimate_faces(
+                    positions, c.faces, proxy_target
+                )
+            else:
+                proxy_cache[ck] = (positions, np.asarray(c.faces, np.int64))
+        sp, sf = proxy_cache[ck]
+        spos_l.append(np.asarray(sp, np.float32))
+        svobj_l.append(np.full(sp.shape[0], oi, np.int32))
+        sface_l.append(np.asarray(sf, np.int64) + sv_off)
+        sfobj_l.append(np.full(sf.shape[0], oi, np.int32))
+        sv_off += sp.shape[0]
+
     nb = len(all_objects)
     if background_plane is not None and np.any(background_plane["size"]):
         # unit plane scaled by size/2 in XY (drawn at backgroundPlanePose)
@@ -352,6 +385,11 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
         obj_class.append(0)
         sticker_tex_ids.append(-1)
         v_off += 4
+        spos_l.append(plane_pos)
+        svobj_l.append(np.full(4, nb, np.int32))
+        sface_l.append(np.array([[0, 1, 2], [0, 2, 3]], np.int64) + sv_off)
+        sfobj_l.append(np.full(2, nb, np.int32))
+        sv_off += 4
         nb += 1
 
     if not mats:  # empty scene
@@ -376,6 +414,11 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
         obj_class.append(0)
         sticker_tex_ids.append(-1)
         nb = max(nb, 1)
+    if not spos_l:
+        spos_l.append(np.zeros((3, 3), np.float32))
+        svobj_l.append(np.zeros(3, np.int32))
+        sface_l.append(np.zeros((1, 3), np.int64))
+        sfobj_l.append(np.zeros(1, np.int32))
 
     # pad native-res stickers to the scene max dims (ragged -> one stack)
     if sticker_imgs:
@@ -403,6 +446,10 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
         faces=jnp.asarray(np.concatenate(face_l).astype(np.int32)),
         face_obj=jnp.asarray(np.concatenate(fobj_l)),
         face_mat=jnp.asarray(np.concatenate(fmat_l)),
+        shadow_positions=jnp.asarray(np.concatenate(spos_l)),
+        shadow_vert_obj=jnp.asarray(np.concatenate(svobj_l)),
+        shadow_faces=jnp.asarray(np.concatenate(sface_l).astype(np.int32)),
+        shadow_face_obj=jnp.asarray(np.concatenate(sfobj_l)),
         mat_base_color=jnp.asarray(np.stack([mt["base"] for mt in mats])),
         mat_emissive=jnp.asarray(np.stack([mt["emissive"] for mt in mats])),
         mat_metallic=jnp.asarray(np.array([mt["metallic"] for mt in mats], np.float32)),

@@ -162,10 +162,24 @@ def render_shadow_maps(atlas: SceneAtlas, inputs: RenderInputs, geom, cfg):
         inputs.light_directions.shape[0], getattr(cfg, "max_lights", 3)
     )
     caster = inputs.obj_casts_shadows & inputs.obj_visible
-    vert_on = caster[atlas.vert_obj]
-    tri_on = caster[atlas.face_obj]
+    vert_on = caster[atlas.shadow_vert_obj]
+    tri_on = caster[atlas.shadow_face_obj]
+    faces = atlas.shadow_faces
 
-    world = geom.world  # (V, 3)
+    # world positions of the shadow-caster proxy verts (same transform chain
+    # as geometry_stage; identical values when the proxy is the identity)
+    o = atlas.shadow_vert_obj
+    M_mo = inputs.mesh_to_obj[o]
+    M_ow = inputs.obj_to_world[o]
+    pos = atlas.shadow_positions
+    obj_coords = (
+        jnp.einsum("vij,vj->vi", M_mo[:, :3, :3], pos, precision="highest")
+        + M_mo[:, :3, 3]
+    )
+    world = (
+        jnp.einsum("vij,vj->vi", M_ow[:, :3, :3], obj_coords, precision="highest")
+        + M_ow[:, :3, 3]
+    )  # (VS, 3)
     # bounding box of casters (masked)
     big = 1e9
     w_masked_min = jnp.where(vert_on[:, None], world, big)
@@ -210,7 +224,7 @@ def render_shadow_maps(atlas: SceneAtlas, inputs: RenderInputs, geom, cfg):
         # anyway (batched predicates select, not branch) and the cond
         # boundary breaks fusion. Inactive slots select the empty map.
         d = _ortho_rasterize_depth(
-            jnp.stack([u, v], -1), z, atlas.faces, tri_on, size,
+            jnp.stack([u, v], -1), z, faces, tri_on, size,
             use_pallas=getattr(cfg, "use_pallas", None),
         )
         m_on = build_vsm(d) if mode == "vsm" else d

@@ -738,3 +738,73 @@ def test_object_annotations(cube_glb):
     # the back cube is partially occluded: 0 < visib_fract < 0.9
     assert a_back["px_count_all"] > a_back["px_count_visib"] > 0
     assert 0.0 < a_back["visib_fract"] < 0.9
+
+
+def test_decimate_faces_shadow_proxy():
+    """Vertex-clustering decimation: under-target meshes pass through
+    untouched; the bunny collapses below the target with its bounding box
+    (the quantity the shadow ortho fit depends on) nearly preserved."""
+    from stillleben_tpu.assets.decimate import decimate_faces
+
+    tri = np.array([[0, 1, 2]], np.int64)
+    pts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    p2, f2 = decimate_faces(pts, tri, 8192)
+    np.testing.assert_array_equal(f2, tri)
+
+    bunny = sl.Mesh(
+        "/root/reference/tests/stanford_bunny/scene.gltf", physics=False
+    )
+    c = bunny.consolidated
+    target = 8192
+    dp, df = decimate_faces(np.asarray(c.positions), np.asarray(c.faces), target)
+    assert 1000 < df.shape[0] <= target, df.shape
+    assert df.max() < dp.shape[0] and df.min() >= 0
+    # degenerate-free
+    assert ((df[:, 0] != df[:, 1]) & (df[:, 1] != df[:, 2]) & (df[:, 0] != df[:, 2])).all()
+    lo0, hi0 = np.asarray(c.positions).min(0), np.asarray(c.positions).max(0)
+    lo1, hi1 = dp.min(0), dp.max(0)
+    diag = float(np.linalg.norm(hi0 - lo0))
+    assert np.abs(lo1 - lo0).max() < 0.02 * diag
+    assert np.abs(hi1 - hi0).max() < 0.02 * diag
+
+
+def test_shadow_proxy_matches_full_geometry(monkeypatch):
+    """Shadows rendered from the decimated caster proxy agree with shadows
+    from the full mesh outside a small silhouette band (the deviation the
+    VSM prefilter bounds)."""
+    bunny = sl.Mesh(
+        "/root/reference/tests/stanford_bunny/scene.gltf", physics=False
+    )
+    bunny.center_bbox()
+    bunny.scale_to_bbox_diagonal(0.8)
+    ground = sl.Mesh("primitive://cube", physics=False)
+    ground.scale_to_bbox_diagonal(8.0)
+
+    def build(proxy):
+        monkeypatch.setenv("SL_SHADOW_PROXY", proxy)
+        scene = sl.Scene((128, 96))
+        g = sl.Object(ground)
+        pose_g = np.eye(4, dtype=np.float32)
+        pose_g[2, 3] = -2.65  # top face near z ~= -0.35
+        g.set_pose(pose_g)
+        scene.add_object(g)
+        b = sl.Object(bunny)
+        pose_b = np.eye(4, dtype=np.float32)
+        pose_b[2, 3] = 0.2
+        b.set_pose(pose_b)
+        scene.add_object(b)
+        scene.set_camera_look_at([2.2, 1.4, 1.6], [0, 0, -0.3])
+        scene.light_directions = np.array([[-0.55, -0.3, -0.78]], np.float32)
+        scene.manual_exposure = 1.0
+        return np.asarray(sl.RenderPass(ssao=False).render(scene).rgb())
+
+    rgb_full = build("0")
+    rgb_proxy = build("4096")
+    on = (rgb_full[..., 3] > 0) & (rgb_proxy[..., 3] > 0)
+    assert on.sum() > 2000
+    lum_f = rgb_full[..., :3].mean(-1)[on].astype(float)
+    lum_p = rgb_proxy[..., :3].mean(-1)[on].astype(float)
+    bright = np.median(lum_f)
+    assert (lum_f < 0.6 * bright).mean() > 0.005, "no shadow in full render"
+    frac_disagree = (np.abs(lum_f - lum_p) > 40).mean()
+    assert frac_disagree < 0.05, f"proxy shadows disagree on {frac_disagree:.1%}"
