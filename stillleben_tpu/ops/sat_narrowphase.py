@@ -68,29 +68,36 @@ def _kernel(
     normal_out,  # (PB, 3)
     sep_out,    # (PB, 1) best separation (SAT gap)
 ):
+    # Masks stay f32 0/1 throughout, and every mask that must broadcast over
+    # a trailing dim is applied as an ARITHMETIC blend (m*x + (1-m)*y) —
+    # Mosaic cannot broadcast 1-bit vectors along minor dims (the
+    # fine_raster lesson), and bool-typed selects lower to i8->i1
+    # truncations it rejects. Same-shape comparisons/selects are fine.
     pa = pa_ref[...]
-    pva = pva_ref[...] > 0.5
+    pva_f = pva_ref[...]
     va = va_ref[...]
-    vva = vva_ref[...] > 0.5
+    vva_f = vva_ref[...]
     pb = pb_ref[...]
-    pvb = pvb_ref[...] > 0.5
+    pvb_f = pvb_ref[...]
     vb = vb_ref[...]
-    vvb = vvb_ref[...] > 0.5
+    vvb_f = vvb_ref[...]
     d_c = dc_ref[...]
 
     PB, PH = pa.shape[0], pa.shape[1]
     VH = va.shape[1]
-    iota_p = jax.lax.broadcasted_iota(jnp.float32, (PB, PH), 1)
-    iota_v = jax.lax.broadcasted_iota(jnp.float32, (PB, VH), 1)
+    # Mosaic only has integer iota; convert after (exact to 2^24)
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (PB, PH), 1).astype(jnp.float32)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (PB, VH), 1).astype(jnp.float32)
 
-    def face_gaps(planes, pvalid, verts, vvalid):
+    def face_gaps(planes, pvalid_f, verts, vvalid_f):
         sd = _plane_vert_sd(planes[..., :3], planes[..., 3], verts)
-        sd_v = jnp.where(vvalid[:, None, :], sd, _BIG)
-        per_plane_gap = jnp.where(pvalid, jnp.min(sd_v, axis=2), _NEG)
-        return per_plane_gap  # (PB, PH)
+        m = vvalid_f[:, None, :]  # f32 broadcast over the plane axis
+        sd_v = sd * m + _BIG * (1.0 - m)
+        gap = jnp.min(sd_v, axis=2)  # (PB, PH)
+        return gap * pvalid_f + _NEG * (1.0 - pvalid_f)
 
-    gaps_a = face_gaps(pa, pva, vb, vvb)
-    gaps_b = face_gaps(pb, pvb, va, vva)
+    gaps_a = face_gaps(pa, pva_f, vb, vvb_f)
+    gaps_b = face_gaps(pb, pvb_f, va, vva_f)
     best_a_gap, best_a_idx = _argmax_lowest(gaps_a, True, iota_p)
     best_b_gap, best_b_idx = _argmax_lowest(gaps_b, True, iota_p)
 
@@ -103,37 +110,42 @@ def _kernel(
         d_c[:, 0:1] * vb[:, :, 0] + d_c[:, 1:2] * vb[:, :, 1]
         + d_c[:, 2:3] * vb[:, :, 2]
     )
-    supp_a = jnp.max(jnp.where(vva, proj_a, _NEG), axis=1, keepdims=True)
-    supp_b = jnp.min(jnp.where(vvb, proj_b, _BIG), axis=1, keepdims=True)
+    supp_a = jnp.max(
+        proj_a * vva_f + _NEG * (1.0 - vva_f), axis=1, keepdims=True
+    )
+    supp_b = jnp.min(
+        proj_b * vvb_f + _BIG * (1.0 - vvb_f), axis=1, keepdims=True
+    )
     gap_c = supp_b - supp_a  # (PB, 1)
 
     best_face = jnp.maximum(best_a_gap, best_b_gap)
     separation = jnp.maximum(best_face, gap_c)
-    use_c = gap_c >= best_face
-    use_a = (best_a_gap >= best_b_gap) & ~use_c
+    use_c_f = jnp.where(gap_c >= best_face, 1.0, 0.0)  # (PB, 1) f32
+    use_a_f = jnp.where(best_a_gap >= best_b_gap, 1.0, 0.0) * (1.0 - use_c_f)
 
     # reference plane: one-hot select the best face of the chosen hull
-    onehot_a = iota_p == best_a_idx  # (PB, PH)
-    onehot_b = iota_p == best_b_idx
+    m_a = jnp.where(iota_p == best_a_idx, 1.0, 0.0)  # (PB, PH)
+    m_b = jnp.where(iota_p == best_b_idx, 1.0, 0.0)
 
-    def select_plane(planes, onehot):
-        m = onehot.astype(jnp.float32)
+    def select_plane(planes, m):
         return jnp.stack(
             [jnp.sum(planes[..., i] * m, axis=1) for i in range(4)], axis=-1
         )  # (PB, 4)
 
-    p_ref_a = select_plane(pa, onehot_a)
-    p_ref_b = select_plane(pb, onehot_b)
+    p_ref_a = select_plane(pa, m_a)
+    p_ref_b = select_plane(pb, m_b)
     p_ref_c = jnp.concatenate([d_c, -supp_a], axis=-1)
-    p_ref = jnp.where(use_c, p_ref_c, jnp.where(use_a, p_ref_a, p_ref_b))
-
-    normal = jnp.where(
-        use_c, d_c, jnp.where(use_a, p_ref_a[:, :3], -p_ref_b[:, :3])
+    p_ref = use_c_f * p_ref_c + (1.0 - use_c_f) * (
+        use_a_f * p_ref_a + (1.0 - use_a_f) * p_ref_b
+    )
+    normal = use_c_f * d_c + (1.0 - use_c_f) * (
+        use_a_f * p_ref_a[:, :3] - (1.0 - use_a_f) * p_ref_b[:, :3]
     )
 
-    ref_is_a = use_a | use_c  # (PB, 1)
-    inc_verts = jnp.where(ref_is_a[:, :, None], vb, va)  # (PB, VH, 3)
-    inc_valid = jnp.where(ref_is_a, vvb, vva)  # (PB, VH)
+    ref_f = jnp.minimum(use_a_f + use_c_f, 1.0)  # (PB, 1): 1 = ref hull is A
+    ref3 = ref_f[:, :, None]
+    inc_verts = ref3 * vb + (1.0 - ref3) * va  # (PB, VH, 3)
+    inc_valid_f = ref_f * vvb_f + (1.0 - ref_f) * vva_f  # (PB, VH)
     depth_ref = -(
         inc_verts[:, :, 0] * p_ref[:, 0:1]
         + inc_verts[:, :, 1] * p_ref[:, 1:2]
@@ -141,25 +153,27 @@ def _kernel(
         + p_ref[:, 3:4]
     )  # (PB, VH)
 
-    ref_planes = jnp.where(ref_is_a[:, :, None], pa, pb)  # (PB, PH, 4)
-    ref_pvalid = jnp.where(ref_is_a, pva, pvb)  # (PB, PH)
+    ref_planes = ref3 * pa + (1.0 - ref3) * pb  # (PB, PH, 4)
+    ref_pvalid_f = ref_f * pva_f + (1.0 - ref_f) * pvb_f  # (PB, PH)
     ndot = (
         ref_planes[..., 0] * p_ref[:, 0:1]
         + ref_planes[..., 1] * p_ref[:, 1:2]
         + ref_planes[..., 2] * p_ref[:, 2:3]
     )  # (PB, PH)
-    is_side = ref_pvalid & (jnp.abs(ndot) < 0.95)
+    is_side_f = jnp.where(jnp.abs(ndot) < 0.95, ref_pvalid_f, 0.0)
     sd_side = _plane_vert_sd(ref_planes[..., :3], ref_planes[..., 3], inc_verts)
+    ms = is_side_f[:, :, None]
     sd_lateral = jnp.max(
-        jnp.where(is_side[:, :, None], sd_side, _NEG), axis=1
+        sd_side * ms + _NEG * (1.0 - ms), axis=1
     )  # (PB, VH)
-    lateral_ok = sd_lateral <= 0.02
+    ok_f = jnp.where(sd_lateral <= 0.02, inc_valid_f, 0.0)  # (PB, VH)
 
-    score_l = jnp.where(inc_valid & lateral_ok, depth_ref, _NEG)
-    has_lateral = jnp.any(score_l > _NEG, axis=1, keepdims=True)
-    score = jnp.where(
-        has_lateral, score_l, jnp.where(inc_valid, depth_ref, _NEG)
-    )
+    score_l = depth_ref * ok_f + _NEG * (1.0 - ok_f)
+    has_lat = jnp.max(
+        jnp.where(score_l > _NEG, 1.0, 0.0), axis=1, keepdims=True
+    )  # (PB, 1) f32
+    score_u = depth_ref * inc_valid_f + _NEG * (1.0 - inc_valid_f)
+    score = has_lat * score_l + (1.0 - has_lat) * score_u
 
     # top-K manifold extraction: K rounds of (max, lowest-index one-hot)
     depths = []
