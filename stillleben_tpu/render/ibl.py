@@ -45,12 +45,23 @@ def _sample_lut(lut: jax.Array, NoV: jax.Array, roughness: jax.Array) -> jax.Arr
 
 def ibl_term(lm: LightMapData, normal, V, NoV, roughness, F0, k_S, c_diff):
     """(reference render_shader.frag:375-394)"""
+    import os
+
     lut = get_brdf_lut()
     f_ab = _sample_lut(lut, NoV, roughness)
     lod = roughness * 4.0
     light_dir = 2.0 * (normal * V).sum(-1, keepdims=True) * normal - V  # reflect(-V, n)
     radiance = _sample_prefilter(lm, light_dir, lod)
-    irradiance = sample_cubemap(lm.irradiance, normal)
+    sh = getattr(lm, "irradiance_sh", None)
+    if sh is not None and os.environ.get("SL_IBL_SH", "1") != "0":
+        # SH-2 reconstruction of the (cosine-smooth) irradiance map: 9
+        # planar FMAs instead of 4 cubemap gathers per pixel; clamp the
+        # small negative ringing SH-2 can produce
+        from .light_map import eval_irradiance_sh
+
+        irradiance = jnp.maximum(eval_irradiance_sh(sh, normal), 0.0)
+    else:
+        irradiance = sample_cubemap(lm.irradiance, normal)
 
     FssEss = k_S * f_ab[..., 0:1] + f_ab[..., 1:2]
     Ems = 1.0 - (f_ab[..., 0:1] + f_ab[..., 1:2])

@@ -44,6 +44,11 @@ class LightMapData(NamedTuple):
     prefilter2: jax.Array  # (6, 32, 32, 3)
     prefilter3: jax.Array  # (6, 16, 16, 3)
     prefilter4: jax.Array  # (6, 8, 8, 3)
+    # order-2 spherical-harmonic projection of the irradiance map: the
+    # cosine convolution leaves almost no energy above SH band 2, so the
+    # per-pixel irradiance lookup becomes 9 planar FMAs instead of 4
+    # data-dependent cubemap gathers (TPU gathers cost per row).
+    irradiance_sh: jax.Array | None = None  # (9, 3)
 
     def prefilter_mip(self, i: int) -> jax.Array:
         return (self.prefilter0, self.prefilter1, self.prefilter2,
@@ -206,6 +211,48 @@ def _tangent_frame(N):
     T = T / jnp.maximum(jnp.linalg.norm(T, axis=-1, keepdims=True), 1e-9)
     B = jnp.cross(N, T)
     return T, B
+
+
+def sh_basis(d: jax.Array) -> jax.Array:
+    """Real SH basis up to order 2 for unit directions d (..., 3) -> (..., 9).
+    Standard constants (Ramamoorthi & Hanrahan 2001)."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    one = jnp.ones_like(x)
+    return jnp.stack(
+        [
+            0.282095 * one,
+            0.488603 * y,
+            0.488603 * z,
+            0.488603 * x,
+            1.092548 * x * y,
+            1.092548 * y * z,
+            0.315392 * (3.0 * z * z - 1.0),
+            1.092548 * x * z,
+            0.546274 * (x * x - y * y),
+        ],
+        axis=-1,
+    )
+
+
+@partial(jax.jit, static_argnames=())
+def project_irradiance_sh(irr: jax.Array) -> jax.Array:
+    """Project a (6, S, S, 3) irradiance cubemap onto SH-2 -> (9, 3) coeffs.
+    Texel solid angles from the unnormalized face-grid coordinates."""
+    S = irr.shape[1]
+    t = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S * 2.0 - 1.0
+    tv, tu = jnp.meshgrid(t, t, indexing="ij")
+    # d_omega = du dv / (u^2+v^2+1)^(3/2) with du = dv = 2/S (sums to 4 pi)
+    dw = (2.0 / S) ** 2 / ((tu * tu + tv * tv + 1.0) ** 1.5)  # (S, S)
+    dirs = face_directions(S)  # (6, S, S, 3) unit
+    Y = sh_basis(dirs)  # (6, S, S, 9)
+    w = jnp.broadcast_to(dw[None], (6, S, S))[..., None]  # (6, S, S, 1)
+    return jnp.einsum("fuvk,fuvc->kc", Y * w, irr)
+
+
+def eval_irradiance_sh(coeffs: jax.Array, n: jax.Array) -> jax.Array:
+    """coeffs (9, 3), unit normals n (..., 3) -> irradiance (..., 3)."""
+    Y = sh_basis(n)  # (..., 9)
+    return jnp.einsum("...k,kc->...c", Y, coeffs)
 
 
 @partial(jax.jit, static_argnames=("size", "n_phi", "n_theta"))
@@ -416,6 +463,7 @@ class LightMap:
             prefilter2=mips[2],
             prefilter3=mips[3],
             prefilter4=mips[4],
+            irradiance_sh=project_irradiance_sh(irr),
         )
 
     def _load_source(self, path: str):

@@ -137,3 +137,31 @@ def test_ibl_descriptor_quirks(hdr_env, tmp_path):
         f.write("[Header]\nName=x\n")
     with pytest.raises(ValueError, match="Reflection"):
         sl.LightMap(bad)
+
+
+def test_sh_irradiance_matches_cubemap(hdr_env):
+    """SH-2 irradiance reconstruction tracks the 32^2 cubemap within a few
+    percent of its dynamic range (the cosine convolution leaves almost no
+    energy above band 2)."""
+    from stillleben_tpu.render.light_map import (
+        LightMap,
+        eval_irradiance_sh,
+        face_directions,
+        project_irradiance_sh,
+    )
+
+    import jax.numpy as jnp
+
+    lm = LightMap(hdr_env)
+    d = lm.data
+    assert d.irradiance_sh is not None and d.irradiance_sh.shape == (9, 3)
+
+    dirs = np.asarray(face_directions(8)).reshape(-1, 3)  # 384 probe dirs
+    from stillleben_tpu.render.light_map import sample_cubemap
+
+    ref = np.asarray(sample_cubemap(d.irradiance, jnp.asarray(dirs)))
+    sh = np.asarray(eval_irradiance_sh(d.irradiance_sh, jnp.asarray(dirs)))
+    scale = max(float(ref.max()), 1e-6)
+    err = np.abs(sh - ref) / scale
+    assert err.mean() < 0.03, f"mean rel err {err.mean():.3f}"
+    assert err.max() < 0.15, f"max rel err {err.max():.3f}"

@@ -185,10 +185,21 @@ def main():
     rough = jnp.asarray(rng.random((B, H, W)).astype(np.float32))
     F0 = jnp.asarray(rng.random((B, H, W, 3)).astype(np.float32))
 
+    os.environ["SL_IBL_SH"] = "0"
     timeit(
-        "ibl: full term (lut+prefilter+irradiance)",
+        "ibl: full term (cubemap irradiance)",
         jax.vmap(lambda n, vv, nov, r, f0: ibl_term(
             lm, n, vv, nov, r, f0, f0, f0)),
+        nrm, Vv, NoV, rough, F0,
+    )
+    from stillleben_tpu.render.light_map import project_irradiance_sh
+
+    lm_sh = lm._replace(irradiance_sh=project_irradiance_sh(lm.irradiance))
+    os.environ["SL_IBL_SH"] = "1"
+    timeit(
+        "ibl: full term (SH irradiance)",
+        jax.vmap(lambda n, vv, nov, r, f0: ibl_term(
+            lm_sh, n, vv, nov, r, f0, f0, f0)),
         nrm, Vv, NoV, rough, F0,
     )
 
