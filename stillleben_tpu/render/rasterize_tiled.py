@@ -49,6 +49,234 @@ def _edge_lines(v):
     return jnp.stack([L0, L1, L2], axis=-2)
 
 
+def rasterize_vertices_cells(
+    v: jax.Array,  # (F, 3, 3) homogeneous vertex coords (u*w, v*w, w)
+    depth_attr: jax.Array,  # (F, 3) per-vertex depth to interpolate & test
+    tri_active: jax.Array,  # (F,) bool
+    width: int,
+    height: int,
+    near: float,
+    far: float,
+    big_capacity: int,
+    min_depth: jax.Array | None,
+    use_pallas: bool | None = None,
+    tile: int = TILE,
+    chunk: int = 128,  # triangles per cell (= the 128-lane width)
+    tile_cap: int = 8192,  # per-tile pair SAFETY cap. Dropping beyond it
+    # loses the farthest triangles of the tile — safe only as a rare
+    # pathological-tile guard: at 4x overflow the drops punch HOLES in
+    # sloped surfaces (pixels whose nearest cover is far in tile-zmin order)
+    max_cells: int | None = None,  # static cell budget (None = auto: scales
+    # with F — a whole dense mesh can land in a handful of tiles at small
+    # viewports, so the budget must cover ~2 pair entries per triangle)
+):
+    """Compact-cell binned z-buffer (see ops/cell_raster.py): ONE uniform
+    (tile, depth)-sorted pair list for every size class — tiny triangles
+    included, so there is no per-pixel scatter stage at all — cut into
+    128-triangle cells that a Pallas kernel z-buffers in VMEM. The old
+    span-class machinery (rasterize_vertices below) remains as the XLA
+    fallback and A/B reference."""
+    F = v.shape[0]
+    pix = tile * tile
+    tw = -(-width // tile)
+    th = -(-height // tile)
+    n_tiles = tw * th
+
+    w = v[..., 2]
+    all_front = jnp.all(w > 1e-6, axis=-1)
+    safe_w = jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
+    u_px = v[..., 0] / safe_w
+    v_px = v[..., 1] / safe_w
+
+    x0 = jnp.clip(jnp.floor(u_px.min(-1)), 0, width - 1)
+    x1 = jnp.clip(jnp.ceil(u_px.max(-1)), 0, width - 1)
+    y0 = jnp.clip(jnp.floor(v_px.min(-1)), 0, height - 1)
+    y1 = jnp.clip(jnp.ceil(v_px.max(-1)), 0, height - 1)
+    on_screen = (
+        (u_px.max(-1) >= 0)
+        & (u_px.min(-1) < width)
+        & (v_px.max(-1) >= 0)
+        & (v_px.min(-1) < height)
+    )
+    zmin = depth_attr.min(-1)
+    zmax = depth_attr.max(-1)
+    in_range = (zmax > near) & (zmin <= far)
+
+    active = tri_active & (zmax > near)
+    degenerate = all_front & (~on_screen | ~in_range)
+    active = active & ~degenerate
+
+    tx0 = (x0 / tile).astype(jnp.int32)
+    tx1 = (x1 / tile).astype(jnp.int32)
+    ty0 = (y0 / tile).astype(jnp.int32)
+    ty1 = (y1 / tile).astype(jnp.int32)
+    span_x = tx1 - tx0 + 1
+    span_y = ty1 - ty0 + 1
+
+    fits = active & all_front
+    one_tile = fits & (span_x == 1) & (span_y == 1)
+    class2 = fits & ~one_tile & (span_x <= 2) & (span_y <= 2)
+    class4 = (
+        fits & ~one_tile & ~class2
+        & (span_x <= SPAN_TILES) & (span_y <= SPAN_TILES)
+    )
+    big = active & ~one_tile & ~class2 & ~class4  # incl. behind-camera verts
+
+    arangeF = jnp.arange(F, dtype=jnp.int32)
+    znorm = jnp.clip(zmin / far, 0.0, 1.0) * 0.999
+
+    def _span_pairs(mask, span_budget, cap):
+        """(key, tri) pair slots for a compacted span class (key = tile id
+        + depth fraction; masked slots sort to the end)."""
+        rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        src = jnp.where(mask & (rank < cap), rank, cap)
+        ids = (
+            jnp.zeros((cap + 1,), jnp.int32).at[src].set(arangeF, mode="drop")[:cap]
+        )
+        ok = jnp.zeros((cap + 1,), bool).at[src].set(mask, mode="drop")[:cap]
+        n_slots = span_budget * span_budget
+        s = jnp.arange(n_slots, dtype=jnp.int32)
+        sx = s % span_budget
+        sy = s // span_budget
+        ptx = tx0[ids][None, :] + sx[:, None]
+        pty = ty0[ids][None, :] + sy[:, None]
+        pok = (
+            ok[None, :]
+            & (sx[:, None] < span_x[ids][None, :])
+            & (sy[:, None] < span_y[ids][None, :])
+        )
+        ptile = pty * tw + ptx
+        key = jnp.where(
+            pok,
+            ptile.astype(jnp.float32) + znorm[ids][None, :],
+            jnp.float32(n_tiles + 2),
+        ).reshape(-1)
+        tri = jnp.broadcast_to(ids[None, :], (n_slots, cap)).reshape(-1)
+        return key, tri
+
+    cap1 = F
+    cap2 = int(min(F, max(32768, F // 3)))
+    cap4 = int(min(F, max(8192, F // 16)))
+    key1, tri1 = _span_pairs(one_tile, 1, cap1)
+    key2, tri2 = _span_pairs(class2, 2, cap2)
+    key4, tri4 = _span_pairs(class4, SPAN_TILES, cap4)
+
+    # big class: compacted list x EVERY tile (the conservative cover for
+    # spans > 4x4 and for triangles with a vertex behind the camera)
+    big_rank = jnp.cumsum(big.astype(jnp.int32)) - 1
+    big_src = jnp.where(big & (big_rank < big_capacity), big_rank, big_capacity)
+    big_ids = (
+        jnp.zeros((big_capacity + 1,), jnp.int32)
+        .at[big_src].set(arangeF, mode="drop")[:big_capacity]
+    )
+    big_ok = (
+        jnp.zeros((big_capacity + 1,), bool)
+        .at[big_src].set(big, mode="drop")[:big_capacity]
+    )
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    keyb = jnp.where(
+        big_ok[None, :],
+        tile_ids[:, None].astype(jnp.float32) + znorm[big_ids][None, :],
+        jnp.float32(n_tiles + 2),
+    ).reshape(-1)
+    trib = jnp.broadcast_to(big_ids[None, :], (n_tiles, big_capacity)).reshape(-1)
+
+    key = jnp.concatenate([key1, key2, key4, keyb])
+    pair_tri = jnp.concatenate([tri1, tri2, tri4, trib])
+
+    order = jnp.argsort(key)
+    sorted_key = key[order]
+    sorted_tri = pair_tri[order]
+    n_pairs = sorted_tri.shape[0]
+
+    # per-tile pair ranges -> compact cell list
+    bounds = jnp.searchsorted(
+        sorted_key, jnp.arange(n_tiles + 1, dtype=jnp.float32)
+    )
+    starts = bounds[:-1]
+    counts = jnp.minimum(bounds[1:] - starts, tile_cap)
+    C = chunk
+    ncells = -(-counts // C)  # ceil
+    cum = jnp.cumsum(ncells)
+    total = cum[-1]
+    if max_cells is None:
+        max_cells = int(min(
+            n_pairs // C + n_tiles, n_tiles + max(512, (F * 2) // C)
+        ))
+    j = jnp.arange(max_cells, dtype=jnp.int32)
+    t_of = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+    t_cl = jnp.minimum(t_of, n_tiles - 1)
+    base = cum[t_cl] - ncells[t_cl]
+    j_in = j - base
+    cell_valid = j < total
+    cell_tile = jnp.where(cell_valid, t_cl, n_tiles)
+    pair0 = starts[t_cl] + j_in * C
+    offs = jnp.arange(C, dtype=jnp.int32)
+    gi = pair0[:, None] + offs[None, :]
+    in_count = (j_in[:, None] * C + offs[None, :]) < counts[t_cl][:, None]
+    ids = jnp.where(
+        cell_valid[:, None] & in_count,
+        sorted_tri[jnp.clip(gi, 0, n_pairs - 1)],
+        -1,
+    )  # (MAXC, C)
+
+    # packed line table (same fields as the classic path), natural layout
+    Lf = _edge_lines(v)
+    Lsum = Lf.sum(axis=1)
+    Lz = (Lf * depth_attr[:, :, None]).sum(axis=1)
+    from ..ops.cell_raster import FIELDS as CFIELDS, cell_raster_pallas
+
+    Lcat = jnp.concatenate([Lf.reshape(-1, 9), Lsum, Lz], axis=1)
+    LT = jnp.pad(Lcat, ((0, 0), (0, CFIELDS - 15)))
+    LT = jax.lax.stop_gradient(LT)
+    G = LT[jnp.maximum(ids, 0).reshape(-1)].reshape(max_cells, C, CFIELDS)
+
+    if min_depth is None:
+        mdc = jnp.zeros((max_cells, pix), jnp.float32)
+    else:
+        pad_w = tw * tile
+        pad_h = th * tile
+        md = jnp.pad(min_depth, ((0, pad_h - height), (0, pad_w - width)))
+        md_tiles = (
+            md.reshape(th, tile, tw, tile).transpose(0, 2, 1, 3).reshape(n_tiles, pix)
+        )
+        md_pad = jnp.concatenate(
+            [md_tiles, jnp.zeros((1, pix), jnp.float32)], axis=0
+        )
+        mdc = jax.lax.stop_gradient(md_pad[cell_tile])
+
+    interpret = jax.devices()[0].platform != "tpu"
+    w_c, t_c = cell_raster_pallas(
+        G, ids, cell_tile, mdc, float(near), float(far), tw, tile, n_tiles,
+        interpret=interpret,
+    )
+
+    # cells -> tiles: scatter-min over MAXC rows (vs ~1M pairs in the old
+    # pixel stage). Pass 1 min-depth per tile; pass 2 lowest id among cells
+    # matching that depth (deterministic tie break).
+    inf = jnp.float32(jnp.inf)
+    wt = (
+        jnp.full((n_tiles + 1, pix), inf, jnp.float32)
+        .at[cell_tile].min(w_c, mode="drop")
+    )
+    BIGID = jnp.int32(2**31 - 1)
+    cand = jnp.where(
+        (w_c <= wt[cell_tile]) & (w_c < inf) & (t_c >= 0), t_c, BIGID
+    )
+    tt = (
+        jnp.full((n_tiles + 1, pix), BIGID, jnp.int32)
+        .at[cell_tile].min(cand, mode="drop")
+    )
+    depth_t = wt[:n_tiles]
+    tri_t = jnp.where(depth_t < inf, tt[:n_tiles], -1)
+
+    pad_w = tw * tile
+    pad_h = th * tile
+    depth_img = untile_img(depth_t, tw, th, pad_h, pad_w, height, width, tile)
+    tri_img = untile_img(tri_t, tw, th, pad_h, pad_w, height, width, tile)
+    return depth_img, tri_img
+
+
 def rasterize_vertices(
     v: jax.Array,  # (F, 3, 3) homogeneous vertex coords (u*w, v*w, w)
     depth_attr: jax.Array,  # (F, 3) per-vertex depth to interpolate & test
@@ -77,6 +305,17 @@ def rasterize_vertices(
     instead of overflowing the global big list (and so the fine grid stays
     ~1k cells instead of 16k).
     """
+    import os
+
+    # round-4 default: the compact-cell raster (one uniform pair list, no
+    # per-pixel scatter stage — see rasterize_vertices_cells). The classic
+    # span-class path stays as the XLA fallback (use_pallas=False) and via
+    # SL_RASTER=classic for A/B.
+    if os.environ.get("SL_RASTER", "cells") == "cells" and use_pallas is not False:
+        return rasterize_vertices_cells(
+            v, depth_attr, tri_active, width, height, near, far,
+            big_capacity, min_depth, use_pallas, tile,
+        )
     F = v.shape[0]
     pix = tile * tile
     tw = -(-width // tile)

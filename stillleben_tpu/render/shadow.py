@@ -92,17 +92,35 @@ def _ortho_rasterize_depth(
 ) -> jax.Array:
     """Depth-only ortho rasterization -> (size, size) min-depth map (1 = far).
 
-    Two classes, split by projected size: sub-2px triangles are splatted
-    exactly via scatter-min (_splat_tiny_depth); everything larger goes
-    through the binned tile rasterizer with homogeneous w == 1 (ortho) and
-    the light-space depth as the interpolated attribute. The camera raster's
-    sort-based exact pixel stage is never used here — depth-only output
-    needs no triangle ids, and its searchsorted cost scales with map AREA
-    (16x the camera viewport at 2048^2)."""
-    from .rasterize_tiled import rasterize_vertices
+    With the compact-cell raster (SL_RASTER=cells, the default) ALL shadow
+    triangles go through one uniform pair list — sub-pixel splat classes and
+    capacity lists are gone (ops/cell_raster.py). The classic path below
+    (SL_RASTER=classic or use_pallas=False) splits by projected size:
+    sub-2px triangles are splatted exactly via scatter-min
+    (_splat_tiny_depth); everything larger goes through the binned tile
+    rasterizer with homogeneous w == 1 (ortho) and the light-space depth as
+    the interpolated attribute."""
+    import os
+
+    from .rasterize_tiled import rasterize_vertices, rasterize_vertices_cells
 
     p = jnp.concatenate([xy, jnp.ones_like(xy[:, :1])], -1)[faces]  # (F,3,3)
     zf = z[faces]  # (F, 3)
+
+    if (
+        os.environ.get("SL_RASTER", "cells") == "cells"
+        and use_pallas is not False
+    ):
+        tile = 64 if size >= 1024 else 16
+        depth_img, _ = rasterize_vertices_cells(
+            p, zf, tri_on, size, size,
+            near=-1e-3, far=1.0,
+            big_capacity=16,
+            min_depth=None,
+            use_pallas=use_pallas,
+            tile=tile,
+        )
+        return jnp.minimum(depth_img, 1.0)
 
     xmin = p[..., 0].min(-1)
     xmax = p[..., 0].max(-1)
@@ -277,7 +295,14 @@ def shadow_factor_vsm_planar(
     light: int,
     world: jax.Array,  # (3, H, W) channel planes
 ) -> jax.Array:
-    """Chebyshev upper-bound soft shadow from one bilinear VSM tap."""
+    """Chebyshev upper-bound soft shadow from one bilinear VSM tap.
+
+    SL_VSM_TAPS=1 point-samples the moments instead (1 gather/px instead of
+    4 — TPU gathers cost per row). The moments are already 4x4
+    box-prefiltered, so the point tap only loses the sub-texel lerp; at
+    2048^2 the visible delta is a <=1-texel edge quantization."""
+    import os
+
     S = vsm_maps.shape[1]
     A = shadow_matrices[light]
     u = A[0, 0] * world[0] + A[0, 1] * world[1] + A[0, 2] * world[2] + A[0, 3]
@@ -287,21 +312,27 @@ def shadow_factor_vsm_planar(
     flat = vsm_maps[light].reshape(S * S, 2)
     tu = u - 0.5
     tv = v - 0.5
-    u0 = jnp.floor(tu)
-    v0 = jnp.floor(tv)
-    fu = (tu - u0)[..., None]
-    fv = (tv - v0)[..., None]
-    u0i = jnp.clip(u0.astype(jnp.int32), 0, S - 1)
-    u1i = jnp.clip(u0i + 1, 0, S - 1)
-    v0i = jnp.clip(v0.astype(jnp.int32), 0, S - 1)
-    v1i = jnp.clip(v0i + 1, 0, S - 1)
 
-    def fetch(vi, ui):
-        return flat[vi * S + ui]  # (H, W, 2)
+    if os.environ.get("SL_VSM_TAPS", "4") == "1":
+        ui = jnp.clip(jnp.round(tu).astype(jnp.int32), 0, S - 1)
+        vi = jnp.clip(jnp.round(tv).astype(jnp.int32), 0, S - 1)
+        mom = flat[vi * S + ui]  # (H, W, 2)
+    else:
+        u0 = jnp.floor(tu)
+        v0 = jnp.floor(tv)
+        fu = (tu - u0)[..., None]
+        fv = (tv - v0)[..., None]
+        u0i = jnp.clip(u0.astype(jnp.int32), 0, S - 1)
+        u1i = jnp.clip(u0i + 1, 0, S - 1)
+        v0i = jnp.clip(v0.astype(jnp.int32), 0, S - 1)
+        v1i = jnp.clip(v0i + 1, 0, S - 1)
 
-    mom = (fetch(v0i, u0i) * (1 - fu) + fetch(v0i, u1i) * fu) * (1 - fv) + (
-        fetch(v1i, u0i) * (1 - fu) + fetch(v1i, u1i) * fu
-    ) * fv
+        def fetch(vi, ui):
+            return flat[vi * S + ui]  # (H, W, 2)
+
+        mom = (fetch(v0i, u0i) * (1 - fu) + fetch(v0i, u1i) * fu) * (1 - fv) + (
+            fetch(v1i, u0i) * (1 - fu) + fetch(v1i, u1i) * fu
+        ) * fv
     mu = mom[..., 0]
     sigma2 = jnp.maximum(mom[..., 1] - mu * mu, VSM_MIN_VARIANCE)
     dz = jnp.maximum(z - SHADOW_BIAS - mu, 0.0)

@@ -53,21 +53,35 @@ def settled():
     return tpl, poses, cam, light
 
 
-def test_pallas_matches_xla_rasterizer(settled):
+def test_pallas_matches_brute_force(settled):
+    """The compact-cell Pallas raster (round-4 default) agrees EXACTLY with
+    the O(F * W * H) brute-force z-buffer — no capacity drops, no scatter
+    stage. (The classic span-class path is checked separately below; it
+    drops a small fraction of triangles by design at tight capacities.)"""
     tpl, poses, cam, light = settled
     fp = render_with_poses(tpl, poses, cam, CFG_PALLAS, light)
-    fx = render_with_poses(tpl, poses, cam, CFG_XLA, light)
+    fb = render_with_poses(
+        tpl, poses, cam, CFG_XLA._replace(tiled=False), light
+    )
 
     inst_p = np.asarray(fp.instance_index)
-    inst_x = np.asarray(fx.instance_index)
-    assert (inst_x > 0).sum() > 20, "scene unexpectedly empty"
-    # identical z-buffer semantics; allow rare tie-break differences
-    mismatch = (inst_p != inst_x).mean()
-    assert mismatch < 0.005, f"instance mismatch fraction {mismatch}"
-    dp = np.asarray(fp.depth)
-    dx = np.asarray(fx.depth)
-    agree = inst_p == inst_x
-    np.testing.assert_allclose(dp[agree], dx[agree], rtol=1e-5, atol=1e-5)
+    inst_b = np.asarray(fb.instance_index)
+    assert (inst_b > 0).sum() > 20, "scene unexpectedly empty"
+    np.testing.assert_array_equal(inst_p, inst_b)
+    np.testing.assert_allclose(
+        np.asarray(fp.depth), np.asarray(fb.depth), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_classic_xla_close_to_brute_force(settled):
+    tpl, poses, cam, light = settled
+    fx = render_with_poses(tpl, poses, cam, CFG_XLA, light)
+    fb = render_with_poses(
+        tpl, poses, cam, CFG_XLA._replace(tiled=False), light
+    )
+    mismatch = (np.asarray(fx.instance_index) != np.asarray(fb.instance_index)).mean()
+    # the classic path's static capacities may drop a few triangles
+    assert mismatch < 0.03, f"instance mismatch fraction {mismatch}"
 
 
 def test_grad_through_pallas_render(settled):
@@ -94,6 +108,8 @@ def test_pallas_slab_path_matches_single_pass(settled, monkeypatch):
     single-pass path."""
     import stillleben_tpu.render.rasterize_tiled as rt
 
+    monkeypatch.setenv("SL_RASTER", "classic")  # slabs are a classic-path
+    # mechanism; the compact-cell raster runs one pass at any tile count
     tpl, poses, cam, light = settled
     one = render_with_poses(tpl, poses, cam, CFG_PALLAS, light)
     monkeypatch.setattr(rt, "MAX_TILES_PER_PASS", 2)
