@@ -459,7 +459,18 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
         mat_mr_tex=jnp.asarray(np.array([mt["mr_tex"] for mt in mats], np.int32)),
         mat_normal_tex=jnp.asarray(np.array([mt["normal_tex"] for mt in mats], np.int32)),
         mat_emissive_tex=jnp.asarray(np.array([mt["emissive_tex"] for mt in mats], np.int32)),
-        tex_combo=jnp.asarray(tex_combo),
+        # SL_TEX_DTYPE=bf16 halves the stack's HBM footprint and the
+        # per-tap gather row size (the sampler converts back to f32 after
+        # the weighted reduce). 8 mantissa bits cover u8-sourced content
+        # (base color, roughness/metallic, normal maps) exactly.
+        tex_combo=jnp.asarray(
+            tex_combo,
+            dtype=(
+                jnp.bfloat16
+                if os.environ.get("SL_TEX_DTYPE", "f32") == "bf16"
+                else jnp.float32
+            ),
+        ),
         mat_combo=jnp.asarray(mat_combo),
         sticker_stack=jnp.asarray(sticker_stack),
         sticker_size=jnp.asarray(sticker_size),

@@ -20,6 +20,8 @@ def _sample_prefilter(lm: LightMapData, dirs: jax.Array, lod: jax.Array) -> jax.
     """Trilinear between the 5 prefiltered mips (lod in [0, 4]): bilinear-tap
     the TWO adjacent levels of the packed chain and lerp — identical math to
     blending all levels with tent weights, at 8 gathers/px instead of 20."""
+    import os
+
     mips = [lm.prefilter_mip(i) for i in range(PREFILTER_MIPS)]
     flat = jnp.concatenate([p.reshape(-1, 3) for p in mips], axis=0)
     sizes = jnp.asarray([p.shape[1] for p in mips], jnp.int32)
@@ -28,6 +30,14 @@ def _sample_prefilter(lm: LightMapData, dirs: jax.Array, lod: jax.Array) -> jax.
         [sum(counts[:i]) for i in range(PREFILTER_MIPS)], jnp.int32
     )
     lod = jnp.clip(lod, 0.0, PREFILTER_MIPS - 1.0)
+    if os.environ.get("SL_IBL_PREFILTER", "trilinear") == "nearest":
+        # nearest-LEVEL bilinear: 4 gathers/px instead of 8. The prefilter
+        # chain is already roughness-blurred, so snapping the level only
+        # steps the blur radius between the 5 bands (no spatial aliasing);
+        # the visible delta on the bench scene is below the tonemap quantum
+        # except on near-mirror surfaces.
+        ln = jnp.round(lod).astype(jnp.int32)
+        return sample_cubemap_packed(flat, offsets, sizes, dirs, ln)
     l0 = jnp.floor(lod).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, PREFILTER_MIPS - 1)
     frac = (lod - l0.astype(jnp.float32))[..., None]
