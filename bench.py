@@ -244,6 +244,7 @@ def run_rung(idx: int) -> None:
         shadow_mode=os.environ.get("BENCH_SHADOW_MODE", "vsm"),
         tile_capacity=int(os.environ.get("BENCH_TILE_CAP", "128")),
         fine_chunk=int(os.environ.get("BENCH_FINE_CHUNK", "128")),
+        texture_filter=os.environ.get("BENCH_TEX_FILTER", "trilinear"),
         sample_textures=has_tex,
         sample_stickers=False,
     )
@@ -255,7 +256,10 @@ def run_rung(idx: int) -> None:
         # frame cadence is ~2.6x cheaper but cannot hold dense multi-hull
         # piles at rest (physics/types.py contact_gen notes)
         solver_cfg = default_config()._replace(
-            contact_gen=os.environ.get("BENCH_CONTACT_GEN", "substep")
+            contact_gen=os.environ.get("BENCH_CONTACT_GEN", "substep"),
+            # broadphase budget: the (K, PH, VH) SAT tensors scale the whole
+            # narrowphase (profile r4: 256 -> 128 saved 43 ms/scene settle)
+            max_narrow_pairs=int(os.environ.get("BENCH_NARROW_PAIRS", "256")),
         )
         value = _attempt(label, tpl, cfg, solver_cfg, batch, sub)
     except _Watchdog:

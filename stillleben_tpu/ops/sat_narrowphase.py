@@ -210,12 +210,21 @@ def sat_narrowphase_pallas(
     vvb: jax.Array,
     d_c: jax.Array,  # (NP, 3) unit centroid axis
     *,
-    pair_block: int = 128,
+    pair_block: int = 32,
     interpret: bool = False,
 ):
     """Returns (depth (NP, K), points (NP, K, 3), normal (NP, 3),
-    separation (NP, 1)) — the manifold of pair_contacts before masking."""
+    separation (NP, 1)) — the manifold of pair_contacts before masking.
+
+    ``pair_block`` bounds the kernel's VMEM working set: the SAT
+    intermediates are (PB, PH, VH) f32 (~917 KB at PB=128, PH=56, VH=32) and
+    several are live at once; under the datagen vmap Mosaic's scoped-vmem
+    accounting multiplies further (observed 47 MB > 16 MB at PB=128, B=8).
+    SL_SAT_BLOCK overrides for hardware tuning."""
+    import os
+
     NP = pa.shape[0]
+    pair_block = int(os.environ.get("SL_SAT_BLOCK", str(pair_block)))
     PB = min(pair_block, NP)
     pad = (-NP) % PB
     if pad:

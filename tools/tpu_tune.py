@@ -30,9 +30,22 @@ LOG = os.environ.get("TUNE_LOG", "/tmp/tpu_tune.jsonl")
 # later row has a same-session reference point.
 CONFIGS = [
     ("baseline", {}),
+    # --- raster (r4: compact-cell raster is the default; A/B the old path)
+    ("classic", {"SL_RASTER": "classic"}),
+    # combined current-best: pairs128 + fused SAT at the vmap-safe block
+    ("best_r4", {"BENCH_NARROW_PAIRS": "128", "SL_PALLAS_SAT": "1"}),
+    # --- settle (profile r4: settle 102 ms/scene, ~50 of it narrowphase) ---
+    # fused VMEM SAT narrowphase: one launch per contact-gen call
+    ("sat", {"SL_PALLAS_SAT": "1"}),
+    # broadphase budget 256 -> 128 (ablation: -43 ms/scene settle)
+    ("pairs128", {"BENCH_NARROW_PAIRS": "128"}),
+    # fused VMEM contact-solver velocity loop (ops/contact_solver.py)
+    ("solver", {"SL_PALLAS_SOLVER": "1"}),
+    ("physics_combo", {"SL_PALLAS_SAT": "1", "BENCH_NARROW_PAIRS": "128",
+                       "SL_PALLAS_SOLVER": "1"}),
+    # --- render ---
     # fat-cell fine-raster grid: 8 tiles per DMA (ops/fine_raster.py)
     ("tpg8", {"SL_FINE_TPG": "8"}),
-    ("tpg4", {"SL_FINE_TPG": "4"}),
     # texture sampler evaluation order A/B (shading.py): packed is default
     ("tex_hwc", {"SL_TEX_SAMPLER": "hwc"}),
     # binning capacity: halves the fine stage's K if quality holds
@@ -40,11 +53,17 @@ CONFIGS = [
     # bigger render sub-batch amortizes per-program overheads
     ("sub8", {"BENCH_RENDER_SUB": "8"}),
     ("batch16", {"BENCH_BATCH": "16"}),
-    # fused VMEM contact-solver velocity loop (ops/contact_solver.py)
-    ("solver", {"SL_PALLAS_SOLVER": "1"}),
+    # --- shading gather diet (r4: TPU gathers cost per ROW; these knobs
+    # cut rows/pixel at bounded quality cost)
+    ("vsm1", {"SL_VSM_TAPS": "1"}),
+    ("iblnear", {"SL_IBL_PREFILTER": "nearest"}),
+    ("texbf16", {"SL_TEX_DTYPE": "bf16"}),
+    ("diet", {"SL_VSM_TAPS": "1", "SL_IBL_PREFILTER": "nearest",
+              "SL_TEX_DTYPE": "bf16"}),
     # combined best-guess (update after singles measure)
-    ("combo", {"SL_FINE_TPG": "8", "BENCH_TILE_CAP": "64",
-               "BENCH_RENDER_SUB": "8", "SL_PALLAS_SOLVER": "1"}),
+    ("combo", {"SL_PALLAS_SAT": "1", "BENCH_NARROW_PAIRS": "128",
+               "SL_VSM_TAPS": "1", "SL_IBL_PREFILTER": "nearest",
+               "SL_TEX_DTYPE": "bf16"}),
 ]
 
 _RUNNER = "_SL_TUNE_RUNNER"
@@ -85,7 +104,11 @@ def run_config(name: str, over: dict) -> dict:
     rec = {"config": name, "env": over, "rc": rc, "wall_s": round(wall, 1)}
     lines = [l for l in out.splitlines() if l.startswith("{")]
     if rc == 0 and lines:
-        rec.update(json.loads(lines[-1]))
+        bench = json.loads(lines[-1])
+        # the bench JSON carries its own "config" (the ladder rung name) —
+        # keep OURS or the baseline lookup below never matches
+        bench.pop("config", None)
+        rec.update(bench)
     else:
         rec["tail"] = "\n".join((err or out).splitlines()[-4:])
     with open(LOG, "a") as f:
