@@ -7,17 +7,16 @@ import numpy as np
 
 
 def _draw_line(img: np.ndarray, p0, p1, color):
-    """Simple DDA line draw into (H, W, C) uint8."""
+    """Vectorized DDA line draw into (H, W, C) uint8."""
     H, W = img.shape[:2]
     x0, y0 = float(p0[0]), float(p0[1])
     x1, y1 = float(p1[0]), float(p1[1])
     n = int(max(abs(x1 - x0), abs(y1 - y0), 1))
-    for i in range(n + 1):
-        t = i / n
-        x = int(round(x0 + (x1 - x0) * t))
-        y = int(round(y0 + (y1 - y0) * t))
-        if 0 <= x < W and 0 <= y < H:
-            img[y, x, :3] = color
+    t = np.linspace(0.0, 1.0, n + 1)
+    x = np.rint(x0 + (x1 - x0) * t).astype(np.int64)
+    y = np.rint(y0 + (y1 - y0) * t).astype(np.int64)
+    ok = (x >= 0) & (x < W) & (y >= 0) & (y < H)
+    img[y[ok], x[ok], :3] = color
 
 
 def render_debug_image(scene):
