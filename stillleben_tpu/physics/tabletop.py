@@ -135,6 +135,31 @@ def settle(
                 warm=acc,
             )
             min_sep = rep.min_separation
+        elif cfg.contact_gen == "every2":
+            # half-rate narrowphase: SAT contact gen every 2 substeps, each
+            # gen covering a 2-substep TGS block (frame_fn depth-updates the
+            # cached manifold within the block). Halves the dominant
+            # narrowphase cost vs "substep" while the manifold staleness is
+            # bounded to 0.02 s — pile-stability validated by the same
+            # tabletop tests as the other cadences.
+            from .engine import frame_fn
+
+            n_blocks = max(substeps // 2, 1)
+            block_sub = substeps // n_blocks
+
+            def gen_block(c, _):
+                s, ms, a = c
+                s, rep, a = frame_fn(
+                    atlas, params, s, floor, pairs,
+                    FRAME_TIME / n_blocks, block_sub, cfg, warm=a,
+                )
+                return (s, jnp.minimum(ms, rep.min_separation), a), None
+
+            (st, min_sep, acc), _ = jax.lax.scan(
+                gen_block,
+                (st, jnp.full((nb,), jnp.inf, jnp.float32), acc),
+                None, length=n_blocks,
+            )
         else:
 
             def sub(c, _):

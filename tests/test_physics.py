@@ -257,9 +257,11 @@ def test_settle_pose_distribution():
     assert r2.max() < 1.6, f"10-cube max ejection {r2.max():.2f} m"
 
 
-def test_frame_mode_settle_multihull_stable():
-    """Frame-cadence (TGS-style) contact generation on a MULTI-HULL stack —
-    the bench workload's solver path. Regression: a 3-bunny+primitive column
+@pytest.mark.parametrize("cadence", ["frame", "every2"])
+def test_frame_mode_settle_multihull_stable(cadence):
+    """Reduced-cadence (TGS-style) contact generation on a MULTI-HULL stack —
+    the bench workload's solver path ("every2" = SAT gen every 2 substeps,
+    "frame" = once per 25FPS frame). Regression: a 3-bunny+primitive column
     used to (a) diverge to NaN poses (Jacobi ang-vel overflow, fixed by the
     in-loop velocity clamp in solver.py::_bound) and (b) settle into
     standing towers with warm_start=0.9 (stale impulses as glue; default is
@@ -277,7 +279,7 @@ def test_frame_mode_settle_multihull_stable():
         scene.add_object(sl.Object(m))
     tpl = template_from_scene(scene)
 
-    cfg = default_config()._replace(contact_gen="frame")
+    cfg = default_config()._replace(contact_gen=cadence)
     keys = jax.random.split(jax.random.PRNGKey(3), 2)
     poses, _, _ = jax.jit(
         jax.vmap(lambda k: settle_scene(k, tpl, cfg, 100))

@@ -43,6 +43,11 @@ CONFIGS = [
     ("solver", {"SL_PALLAS_SOLVER": "1"}),
     ("physics_combo", {"SL_PALLAS_SAT": "1", "BENCH_NARROW_PAIRS": "128",
                        "SL_PALLAS_SOLVER": "1"}),
+    # half-rate narrowphase: SAT gen every 2 substeps (TGS depth updates
+    # in between) — pile-stability covered by test_physics every2 case
+    ("every2", {"BENCH_CONTACT_GEN": "every2"}),
+    ("every2_p128", {"BENCH_CONTACT_GEN": "every2",
+                     "BENCH_NARROW_PAIRS": "128"}),
     # --- render ---
     # fat-cell fine-raster grid: 8 tiles per DMA (ops/fine_raster.py)
     ("tpg8", {"SL_FINE_TPG": "8"}),
