@@ -69,6 +69,9 @@ def rasterize_vertices_cells(
     max_cells: int | None = None,  # static cell budget (None = auto: scales
     # with F — a whole dense mesh can land in a handful of tiles at small
     # viewports, so the budget must cover ~2 pair entries per triangle)
+    stop_after: str | None = None,  # profiling bisect: return the stage's
+    # raw outputs early ("pairs"|"sort"|"cells"|"gather"|"kernel") so XLA
+    # dead-code-eliminates everything downstream; prefix deltas = stage cost
 ):
     """Compact-cell binned z-buffer (see ops/cell_raster.py): ONE uniform
     (tile, depth)-sorted pair list for every size class — tiny triangles
@@ -183,11 +186,15 @@ def rasterize_vertices_cells(
 
     key = jnp.concatenate([key1, key2, key4, keyb])
     pair_tri = jnp.concatenate([tri1, tri2, tri4, trib])
+    if stop_after == "pairs":
+        return key, pair_tri
 
     order = jnp.argsort(key)
     sorted_key = key[order]
     sorted_tri = pair_tri[order]
     n_pairs = sorted_tri.shape[0]
+    if stop_after == "sort":
+        return sorted_key, sorted_tri
 
     # per-tile pair ranges -> compact cell list
     bounds = jnp.searchsorted(
@@ -219,6 +226,8 @@ def rasterize_vertices_cells(
         sorted_tri[jnp.clip(gi, 0, n_pairs - 1)],
         -1,
     )  # (MAXC, C)
+    if stop_after == "cells":
+        return ids, cell_tile
 
     # packed line table (same fields as the classic path), natural layout
     Lf = _edge_lines(v)
@@ -244,12 +253,16 @@ def rasterize_vertices_cells(
             [md_tiles, jnp.zeros((1, pix), jnp.float32)], axis=0
         )
         mdc = jax.lax.stop_gradient(md_pad[cell_tile])
+    if stop_after == "gather":
+        return G, mdc
 
     interpret = jax.devices()[0].platform != "tpu"
     w_c, t_c = cell_raster_pallas(
         G, ids, cell_tile, mdc, float(near), float(far), tw, tile, n_tiles,
         interpret=interpret,
     )
+    if stop_after == "kernel":
+        return w_c, t_c
 
     # cells -> tiles: scatter-min over MAXC rows (vs ~1M pairs in the old
     # pixel stage). Pass 1 min-depth per tile; pass 2 lowest id among cells
