@@ -127,60 +127,85 @@ def rasterize_vertices_cells(
 
     arangeF = jnp.arange(F, dtype=jnp.int32)
     znorm = jnp.clip(zmin / far, 0.0, 1.0) * 0.999
+    sentinel = jnp.float32(n_tiles + 2)
 
-    def _span_pairs(mask, span_budget, cap):
-        """(key, tri) pair slots for a compacted span class (key = tile id
-        + depth fraction; masked slots sort to the end)."""
-        rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-        src = jnp.where(mask & (rank < cap), rank, cap)
+    # Pair building is overhead-bound, not bytes-bound: every op below must
+    # avoid F-sized scatters/gathers where a direct masked expression works
+    # (measured 38 -> ~? ms/scene on the v5e; see ROADMAP r4).
+    #
+    # One-tile class (the bulk of a dense mesh): NO compaction. The pair
+    # list is sorted afterwards anyway, so a cumsum+scatter permutation to
+    # the front buys nothing — emit one slot per face, masked to the
+    # sort-to-the-end sentinel.
+    tilef = ty0.astype(jnp.float32) * tw + tx0.astype(jnp.float32)
+    key1 = jnp.where(one_tile, tilef + znorm, sentinel)
+    tri1 = arangeF
+
+    # Spanning classes: compaction is needed (slots = cap * span^2), but as
+    # ONE cumsum (shared, stacked masks), ONE scatter per class (the ok-mask
+    # falls out of the class count — no second scatter), and ONE packed
+    # row-gather of the per-face fields instead of five 1D gathers.
+    #
+    # Caps are sized to measured populations (bench scene: class2 ~38k of
+    # 211k F, class4 <50) with overflow CASCADED to the big list (covers
+    # every tile — conservative-correct) instead of dropped, so tight caps
+    # cost pathological scenes bandwidth, not correctness.
+    cap2 = int(min(F, max(32768, F // 3)))
+    cap4 = int(min(F, max(2048, F // 64)))
+    masks24 = jnp.stack([class2, class4])
+    ranks24 = jnp.cumsum(masks24.astype(jnp.int32), axis=-1)
+    over2 = class2 & (ranks24[0] > cap2)
+    over4 = class4 & (ranks24[1] > cap4)
+    big = big | over2 | over4
+    masks = jnp.concatenate([masks24, big[None]])
+    ranks = jnp.concatenate([ranks24, jnp.cumsum(big.astype(jnp.int32))[None]])
+    counts = ranks[:, -1]
+    packed = jnp.stack(
+        [
+            tx0.astype(jnp.float32),
+            ty0.astype(jnp.float32),
+            span_x.astype(jnp.float32),
+            span_y.astype(jnp.float32),
+            znorm,
+        ],
+        axis=1,
+    )  # (F, 5) row-major: one row gather per compacted id
+
+    def _compact(c, cap):
+        rank = ranks[c] - 1
+        src = jnp.where(masks[c] & (rank < cap), rank, cap)
         ids = (
             jnp.zeros((cap + 1,), jnp.int32).at[src].set(arangeF, mode="drop")[:cap]
         )
-        ok = jnp.zeros((cap + 1,), bool).at[src].set(mask, mode="drop")[:cap]
+        ok = jnp.arange(cap, dtype=jnp.int32) < counts[c]
+        return ids, ok
+
+    def _span_keys(ids, ok, span_budget):
+        f = packed[ids]  # (cap, 5)
         n_slots = span_budget * span_budget
-        s = jnp.arange(n_slots, dtype=jnp.int32)
+        s = jnp.arange(n_slots, dtype=jnp.float32)
         sx = s % span_budget
-        sy = s // span_budget
-        ptx = tx0[ids][None, :] + sx[:, None]
-        pty = ty0[ids][None, :] + sy[:, None]
-        pok = (
-            ok[None, :]
-            & (sx[:, None] < span_x[ids][None, :])
-            & (sy[:, None] < span_y[ids][None, :])
-        )
-        ptile = pty * tw + ptx
-        key = jnp.where(
-            pok,
-            ptile.astype(jnp.float32) + znorm[ids][None, :],
-            jnp.float32(n_tiles + 2),
-        ).reshape(-1)
-        tri = jnp.broadcast_to(ids[None, :], (n_slots, cap)).reshape(-1)
+        sy = jnp.floor(s / span_budget)
+        ptx = f[None, :, 0] + sx[:, None]
+        pty = f[None, :, 1] + sy[:, None]
+        pok = ok[None, :] & (sx[:, None] < f[None, :, 2]) & (sy[:, None] < f[None, :, 3])
+        key = jnp.where(pok, pty * tw + ptx + f[None, :, 4], sentinel).reshape(-1)
+        tri = jnp.broadcast_to(ids[None, :], (n_slots, ids.shape[0])).reshape(-1)
         return key, tri
 
-    cap1 = F
-    cap2 = int(min(F, max(32768, F // 3)))
-    cap4 = int(min(F, max(8192, F // 16)))
-    key1, tri1 = _span_pairs(one_tile, 1, cap1)
-    key2, tri2 = _span_pairs(class2, 2, cap2)
-    key4, tri4 = _span_pairs(class4, SPAN_TILES, cap4)
+    ids2, ok2 = _compact(0, cap2)
+    ids4, ok4 = _compact(1, cap4)
+    key2, tri2 = _span_keys(ids2, ok2, 2)
+    key4, tri4 = _span_keys(ids4, ok4, SPAN_TILES)
 
     # big class: compacted list x EVERY tile (the conservative cover for
     # spans > 4x4 and for triangles with a vertex behind the camera)
-    big_rank = jnp.cumsum(big.astype(jnp.int32)) - 1
-    big_src = jnp.where(big & (big_rank < big_capacity), big_rank, big_capacity)
-    big_ids = (
-        jnp.zeros((big_capacity + 1,), jnp.int32)
-        .at[big_src].set(arangeF, mode="drop")[:big_capacity]
-    )
-    big_ok = (
-        jnp.zeros((big_capacity + 1,), bool)
-        .at[big_src].set(big, mode="drop")[:big_capacity]
-    )
+    big_ids, big_okv = _compact(2, big_capacity)
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     keyb = jnp.where(
-        big_ok[None, :],
+        big_okv[None, :],
         tile_ids[:, None].astype(jnp.float32) + znorm[big_ids][None, :],
-        jnp.float32(n_tiles + 2),
+        sentinel,
     ).reshape(-1)
     trib = jnp.broadcast_to(big_ids[None, :], (n_tiles, big_capacity)).reshape(-1)
 
@@ -189,9 +214,8 @@ def rasterize_vertices_cells(
     if stop_after == "pairs":
         return key, pair_tri
 
-    order = jnp.argsort(key)
-    sorted_key = key[order]
-    sorted_tri = pair_tri[order]
+    # co-sort (key, tri) in one lax.sort — no argsort + post-gathers
+    sorted_key, sorted_tri = jax.lax.sort((key, pair_tri), num_keys=1)
     n_pairs = sorted_tri.shape[0]
     if stop_after == "sort":
         return sorted_key, sorted_tri
