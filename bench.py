@@ -180,7 +180,7 @@ def _attempt(label, tpl, cfg, solver_cfg, batch, sub):
             file=sys.stderr,
             flush=True,
         )
-    return batch / min(times)
+    return batch / min(times), warm
 
 
 # degradation ladder: each rung strips the component most likely to have
@@ -261,11 +261,48 @@ def run_rung(idx: int) -> None:
             # narrowphase (profile r4: 256 -> 128 saved 43 ms/scene settle)
             max_narrow_pairs=int(os.environ.get("BENCH_NARROW_PAIRS", "256")),
         )
-        value = _attempt(label, tpl, cfg, solver_cfg, batch, sub)
+        value, compile_warm_s = _attempt(label, tpl, cfg, solver_cfg, batch, sub)
     except _Watchdog:
         print(f"bench[{label}]: WATCHDOG after {WARM_BUDGET}s", file=sys.stderr,
               flush=True)
         sys.exit(3)
+
+    # steady-state throughput (VERDICT r3 item 5): generate_stream keeps
+    # `prefetch` batches in flight so the device never idles during host
+    # readback — the production number. Reuses the program _attempt compiled.
+    # Default OFF on this rig: full-GT readback rides the axon relay tunnel
+    # (~5 MB/s observed -> 0.2 scenes/s, pure link bandwidth, not device
+    # time); on a host-attached TPU the same loop is device-bound. Measure
+    # explicitly with BENCH_STREAM=1.
+    steady = None
+    if (
+        os.environ.get("BENCH_STREAM", "0") == "1"
+        and label != "cpu_fallback_not_tpu"
+    ):
+        from stillleben_tpu.parallel.batch import generate_stream
+
+        n_stream = int(os.environ.get("BENCH_STREAM_BATCHES", "4"))
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(WARM_BUDGET)
+        try:
+            t0 = time.perf_counter()
+            got = 0
+            for frames in generate_stream(
+                tpl, cfg, solver_cfg, batch=batch, n_batches=n_stream,
+                seed=7, render_sub_batch=sub,
+            ):
+                got += int(np.asarray(frames.rgb).shape[0])
+            steady = got / (time.perf_counter() - t0)
+            print(
+                f"bench[{label}]: steady-state {steady:.2f} scenes/s "
+                f"({got} scenes, prefetch=2)",
+                file=sys.stderr, flush=True,
+            )
+        except _Watchdog:
+            print(f"bench[{label}]: stream WATCHDOG", file=sys.stderr, flush=True)
+            steady = None
+        finally:
+            signal.alarm(0)
     print(
         json.dumps(
             {
@@ -275,6 +312,14 @@ def run_rung(idx: int) -> None:
                 "vs_baseline": round(value / TARGET_SCENES_PER_SEC, 4),
                 "config": label,
                 "batch": batch,
+                # first-call latency (compile via persistent cache + warm-up)
+                # — tracked per VERDICT r3 item 4
+                "compile_warm_s": round(compile_warm_s, 1),
+                # host-pipelined production throughput (prefetch=2),
+                # None when BENCH_STREAM=0
+                "steady_scenes_per_sec": (
+                    round(steady, 3) if steady is not None else None
+                ),
                 "workload": (
                     "textured: 3x bunny(69k tris)+7 primitives, IBL light map, "
                     "SSAO, textured bg plane, full GT"

@@ -34,6 +34,17 @@ CONFIGS = [
     ("classic", {"SL_RASTER": "classic"}),
     # combined current-best: pairs128 + fused SAT at the vmap-safe block
     ("best_r4", {"BENCH_NARROW_PAIRS": "128", "SL_PALLAS_SAT": "1"}),
+    # fused SAT at pair_block=32 (block=128 OOMed under vmap in the r4 sweep)
+    ("sat32", {"BENCH_NARROW_PAIRS": "128", "SL_PALLAS_SAT": "1",
+               "SL_SAT_BLOCK": "32"}),
+    # every2 cadence + pairs128 + gather-diet shading: the all-measured-
+    # winners candidate for TUNED.json
+    ("allwin", {"BENCH_CONTACT_GEN": "every2", "BENCH_NARROW_PAIRS": "128",
+                "SL_VSM_TAPS": "1", "SL_IBL_PREFILTER": "nearest",
+                "SL_TEX_DTYPE": "bf16"}),
+    ("allwin_sub8", {"BENCH_CONTACT_GEN": "every2", "BENCH_NARROW_PAIRS": "128",
+                     "SL_VSM_TAPS": "1", "SL_IBL_PREFILTER": "nearest",
+                     "SL_TEX_DTYPE": "bf16", "BENCH_RENDER_SUB": "8"}),
     # --- settle (profile r4: settle 102 ms/scene, ~50 of it narrowphase) ---
     # fused VMEM SAT narrowphase: one launch per contact-gen call
     ("sat", {"SL_PALLAS_SAT": "1"}),
@@ -90,6 +101,7 @@ def run_config(name: str, over: dict) -> dict:
     env = dict(CHILD_ENV)
     env.setdefault("BENCH_BATCH", "8")
     env.setdefault("BENCH_REPEATS", "1")
+    env.setdefault("BENCH_STREAM", "0")  # burst-only: keep A/B configs cheap
     env.update(over)
     t0 = time.time()
     try:
