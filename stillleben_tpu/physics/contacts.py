@@ -188,12 +188,11 @@ def pair_contacts(
         & ((params.inv_mass[ba] > 0) | (params.inv_mass[bb] > 0))
     )
 
-    import os
-
-    if os.environ.get("SL_PALLAS_SAT", "0") == "1":
-        return _pair_contacts_pallas(
-            atlas, params, wv, wp, wc, pairs, pair_active, margin
-        )
+    # NOTE: a fused Pallas VMEM SAT kernel (whole per-pair manifold in VMEM)
+    # was built and measured in r4; it LOST ~3%% end-to-end on the v5e even
+    # paired with the pairs128 broadphase budget (ROADMAP r4) — the XLA SAT
+    # below fuses well and the kernel's operand staging cost more than the
+    # HBM traffic it saved. Removed per VERDICT r3 item 2.
 
     # signed distance of B's verts against A's planes: (NP, PH, VH)
     def _face_gaps(planes, plane_valid, verts, vert_valid):
@@ -313,71 +312,6 @@ def pair_contacts(
         params.restitution[body_a_full] + params.restitution[body_b_full]
     )
 
-    return Contacts(
-        point=point,
-        normal=normal_full,
-        depth=depth,
-        body_a=body_a_full,
-        body_b=body_b_full,
-        valid=valid,
-        friction=mu_d,
-        restitution=rest,
-        friction_static=mu_s,
-    )
-
-
-def _pair_contacts_pallas(
-    atlas: HullAtlas,
-    params: BodyParams,
-    wv: jax.Array,  # (NH, VH, 3) world hull verts
-    wp: jax.Array,  # (NH, PH, 4) world hull planes
-    wc: jax.Array,  # (NH, 3) world hull centers
-    pairs: jax.Array,  # (NP, 2) (post-pruning)
-    pair_active: jax.Array,  # (NP,) bool
-    margin,
-) -> Contacts:
-    """SAT manifold via the fused VMEM kernel (ops/sat_narrowphase.py):
-    identical contact semantics to the XLA path below, ~100x less HBM
-    traffic per substep (only the gathered per-pair hull data and the
-    8-contact manifolds move)."""
-    from ..core.math import normalize as _normalize
-    from ..ops.sat_narrowphase import MANIFOLD_K, sat_narrowphase_pallas
-
-    ia, ib = pairs[:, 0], pairs[:, 1]
-    ba = atlas.hull_body[ia]
-    bb = atlas.hull_body[ib]
-    d_c = _normalize(wc[ib] - wc[ia])
-
-    f32 = jnp.float32
-    interpret = jax.devices()[0].platform != "tpu"
-    depth, points, normal, sep = sat_narrowphase_pallas(
-        wp[ia], atlas.plane_valid[ia].astype(f32),
-        wv[ia], atlas.vert_valid[ia].astype(f32),
-        wp[ib], atlas.plane_valid[ib].astype(f32),
-        wv[ib], atlas.vert_valid[ib].astype(f32),
-        d_c, interpret=interpret,
-    )
-    # kernel masks with +-1e30 sentinels (Mosaic-safe); restore the XLA
-    # path's -inf so downstream isfinite/min-separation logic is unchanged
-    depth = jnp.where(depth <= -1e29, -jnp.inf, depth)
-    separation = jnp.where(sep[:, 0] >= 1e29, jnp.inf, sep[:, 0])
-
-    active = pair_active & (separation < margin)
-    k = MANIFOLD_K
-    np_pairs = pairs.shape[0]
-    point = points.reshape(np_pairs * k, 3)
-    depth = depth.reshape(-1)
-    normal_full = jnp.repeat(normal, k, axis=0)
-    body_a_full = jnp.repeat(ba, k)
-    body_b_full = jnp.repeat(bb, k)
-    valid = jnp.repeat(active, k) & (depth > -margin) & jnp.isfinite(depth)
-
-    fs = params.friction_static if params.friction_static is not None else params.friction
-    mu_d = 0.5 * (params.friction[body_a_full] + params.friction[body_b_full])
-    mu_s = 0.5 * (fs[body_a_full] + fs[body_b_full])
-    rest = 0.5 * (
-        params.restitution[body_a_full] + params.restitution[body_b_full]
-    )
     return Contacts(
         point=point,
         normal=normal_full,

@@ -305,67 +305,17 @@ def solve_contacts(
         init_acc = (wn, wt1, wt2)
     else:
         init_acc = (zeros, zeros, zeros)
-    import os
 
-    if os.environ.get("SL_PALLAS_SOLVER", "0") == "1":
-        # fused VMEM velocity loop (ops/contact_solver.py): one launch for
-        # all iterations instead of ~40 HLOs per iteration — the substep is
-        # dispatch-bound at small scene batches
-        from ..ops.contact_solver import velocity_loop_pallas
-
-        vmask = contacts.valid.astype(jnp.float32)[:, None]
-
-        def jrow(d, r):  # (NC, 6): [d, r x d]
-            return jnp.concatenate([d, jnp.cross(r, d)], axis=-1)
-
-        def hrow(d, r, inv_m, inv_I):  # (NC, 6) impulse response (full
-            # unsplit inverse masses; splitting lives in m_n/m_t1/m_t2)
-            rxd = jnp.cross(r, d)
-            return vmask * jnp.concatenate(
-                [
-                    inv_m[:, None] * d,
-                    jnp.einsum("cij,cj->ci", inv_I, rxd),
-                ],
-                axis=-1,
-            )
-
-        dirs = (n, t1, t2)
-        J_a = jnp.stack([jrow(d, kin.r_a).T for d in dirs])  # (3, 6, NC)
-        J_b = jnp.stack([jrow(d, kin.r_b).T for d in dirs])
-        H_a = jnp.stack(
-            [hrow(d, kin.r_a, kin.inv_m_a, kin.inv_I_a).T for d in dirs]
-        )
-        H_b = jnp.stack(
-            [hrow(d, kin.r_b, kin.inv_m_b, kin.inv_I_b).T for d in dirs]
-        )
-        V0 = jnp.concatenate([lin0.T, ang0.T], axis=0)  # (6, NB)
-        Vout, acc = velocity_loop_pallas(
-            V0,
-            dyn[:, 0].astype(jnp.float32)[None, :],
-            kin.mat_a,
-            kin.mat_b,
-            J_a, J_b, H_a, H_b,
-            jnp.stack([m_n, m_t1, m_t2]),
-            target_vn[None],
-            contacts.friction[None],
-            contacts.friction_static[None],
-            jnp.stack(init_acc),
-            iterations=int(cfg.velocity_iterations),
-            relax=float(relax),
-            stick_vel2=float(cfg.stick_velocity) ** 2,
-            max_vel=float(cfg.max_velocity),
-            max_ang=float(cfg.max_angular_velocity),
-            interpret=jax.devices()[0].platform != "tpu",
-        )
-        lin, ang = Vout[:3].T, Vout[3:].T
-        acc_n, acc_t1, acc_t2 = acc[0], acc[1], acc[2]
-    else:
-        lin, ang, acc_n, acc_t1, acc_t2 = jax.lax.fori_loop(
-            0,
-            cfg.velocity_iterations,
-            body_fn,
-            (lin0, ang0) + init_acc,
-        )
+    # NOTE: a fused Pallas VMEM velocity loop was built and measured in r4
+    # (one launch for all iterations); it LOST 2% end-to-end on the v5e —
+    # XLA already fuses the Jacobi iteration body well and the kernel's
+    # operand relayout cost more than the launches it saved (ROADMAP r4).
+    lin, ang, acc_n, acc_t1, acc_t2 = jax.lax.fori_loop(
+        0,
+        cfg.velocity_iterations,
+        body_fn,
+        (lin0, ang0) + init_acc,
+    )
 
     # per-body min separation (reference records it for the redrop heuristic)
     sep = jnp.where(contacts.valid, -contacts.depth, jnp.inf)
@@ -391,44 +341,6 @@ def position_correction(
     kin = _build_kinematics(contacts, params, state)
     n = contacts.normal
     m_n = jnp.where(contacts.valid, _effective_mass(contacts, kin, n), 0.0)
-
-    import os
-
-    if os.environ.get("SL_PALLAS_SOLVER", "0") == "1":
-        # fused VMEM positional projection (ops/contact_solver.py) — same
-        # dispatch-bound argument as the velocity loop above
-        from ..ops.contact_solver import position_loop_pallas
-
-        vmask = contacts.valid.astype(jnp.float32)[:, None]
-        nm = vmask * n
-
-        def hp(inv_m):
-            return (inv_m[:, None] * n * vmask).T
-
-        def hth(inv_I, r):
-            return (
-                jnp.einsum("cij,cj->ci", inv_I, jnp.cross(r, n)) * vmask
-            ).T
-
-        pos, quat = position_loop_pallas(
-            state.pos.T,
-            state.quat.T,
-            kin.mat_a,
-            kin.mat_b,
-            nm.T,
-            hp(kin.inv_m_a),
-            hp(kin.inv_m_b),
-            hth(kin.inv_I_a, kin.r_a),
-            hth(kin.inv_I_b, kin.r_b),
-            m_n[None],
-            contacts.depth[None],
-            iterations=int(cfg.position_iterations),
-            slop=float(cfg.slop),
-            max_step=2.5e-3,
-            gain=0.8,
-            interpret=jax.devices()[0].platform != "tpu",
-        )
-        return state._replace(pos=pos.T, quat=quat.T)
 
     def body_fn(_, carry):
         pos, quat, corrected = carry

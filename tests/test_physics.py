@@ -291,62 +291,10 @@ def test_frame_mode_settle_multihull_stable(cadence):
     assert z.max() < 0.6, f"unsettled tower: z={z.max():.2f}"
 
 
-def test_pallas_velocity_loop_matches_xla(monkeypatch):
-    """The fused Pallas velocity loop (SL_PALLAS_SOLVER=1, interpret on CPU)
-    reproduces the XLA fori_loop solve on a real contact set: a 3-cube stack
-    plus one sliding cube (exercises normal impulses, stick AND slip
-    friction, warm start, and the in-loop velocity bound)."""
-    from stillleben_tpu.physics.contacts import make_floor
-    from stillleben_tpu.physics.engine import gather_contacts, integrate_velocities
-    from stillleben_tpu.physics.solver import solve_contacts
-
-    atlas, params, pairs = _make_world(4, half=0.1)
-    # slightly interpenetrating stack + a fast tangential slider on the floor
-    state = _state(
-        [[0, 0, 0.099], [0, 0, 0.295], [0, 0, 0.49], [0.5, 0, 0.0995]],
-        velocities=[[0, 0, -0.1], [0, 0, -0.2], [0.01, 0, -0.3], [2.0, 0, 0]],
-    )
-    floor = make_floor()
-    cfg = default_config()
-    dt = jnp.float32(0.0025)
-
-    state = integrate_velocities(params, state, dt, cfg)
-    contacts = gather_contacts(
-        atlas, params, state, floor, pairs, max_narrow_pairs=cfg.max_narrow_pairs
-    )
-    assert bool(contacts.valid.sum() >= 4), "scenario must generate contacts"
-
-    warm = (
-        jnp.where(contacts.valid, 0.01, 0.0),
-        jnp.where(contacts.valid, 0.002, 0.0),
-        jnp.zeros_like(contacts.depth),
-    )
-
-    monkeypatch.setenv("SL_PALLAS_SOLVER", "0")
-    s_ref, rep_ref, acc_ref = solve_contacts(contacts, params, state, dt, cfg, warm=warm)
-    monkeypatch.setenv("SL_PALLAS_SOLVER", "1")
-    s_k, rep_k, acc_k = solve_contacts(contacts, params, state, dt, cfg, warm=warm)
-
-    np.testing.assert_allclose(
-        np.asarray(s_k.lin_vel), np.asarray(s_ref.lin_vel), atol=1e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(s_k.ang_vel), np.asarray(s_ref.ang_vel), atol=1e-5
-    )
-    for a, b in zip(acc_k, acc_ref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
-    np.testing.assert_allclose(
-        np.asarray(rep_k.min_separation),
-        np.asarray(rep_ref.min_separation),
-        atol=1e-6,
-    )
-    # the slider must actually be slipping (dynamic-friction branch taken)
-    assert float(s_ref.lin_vel[3, 0]) > 0.5
-
-
-def test_pallas_position_loop_matches_xla(monkeypatch):
-    """Fused positional projection agrees with the XLA loop (positions,
-    orientations, and the per-contact corrected-depth tracking)."""
+def test_position_correction_resolves_penetration():
+    """Positional projection pushes interpenetrating bodies apart and keeps
+    quaternions normalized (Pallas comparison variant removed in r4: the
+    fused kernel measured a 2% LOSS on silicon — see ROADMAP r4 losers)."""
     from stillleben_tpu.physics.contacts import make_floor
     from stillleben_tpu.physics.engine import gather_contacts
     from stillleben_tpu.physics.solver import position_correction
@@ -362,15 +310,15 @@ def test_pallas_position_loop_matches_xla(monkeypatch):
     )
     assert bool(contacts.valid.sum() >= 3)
 
-    monkeypatch.setenv("SL_PALLAS_SOLVER", "0")
-    s_ref = position_correction(contacts, params, state, cfg)
-    monkeypatch.setenv("SL_PALLAS_SOLVER", "1")
-    s_k = position_correction(contacts, params, state, cfg)
-
-    np.testing.assert_allclose(np.asarray(s_k.pos), np.asarray(s_ref.pos), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(s_k.quat), np.asarray(s_ref.quat), atol=1e-6)
+    s_out = position_correction(contacts, params, state, cfg)
+    pos = np.asarray(s_out.pos)
+    quat = np.asarray(s_out.quat)
+    assert np.isfinite(pos).all() and np.isfinite(quat).all()
+    np.testing.assert_allclose(np.linalg.norm(quat, axis=-1), 1.0, atol=1e-5)
     # the projection actually moved something (test isn't vacuous)
-    assert float(np.abs(np.asarray(s_ref.pos) - np.asarray(state.pos)).max()) > 1e-5
+    assert float(np.abs(pos - np.asarray(state.pos)).max()) > 1e-5
+    # the floor-penetrating cube (half=0.1 at z=0.095) was pushed up
+    assert float(pos[0, 2]) > float(np.asarray(state.pos)[0, 2])
 
 
 def _mixed_world(n_bodies=4, seed=3):
@@ -403,11 +351,13 @@ def _mixed_world(n_bodies=4, seed=3):
     return atlas, params, pairs
 
 
-def test_pallas_sat_narrowphase_matches_xla(monkeypatch):
-    """The fused SAT kernel (SL_PALLAS_SAT=1, interpret on CPU) produces the
-    same contact set as the XLA narrowphase: depths, points, normals, and
-    validity — across overlapping, separated, and deeply-penetrating pair
-    configurations with heterogeneous hull sizes."""
+def test_sat_narrowphase_mixed_hulls():
+    """SAT narrowphase invariants on heterogeneous hull sizes (cube + random
+    hulls with different vertex/plane counts exercise the masking paths):
+    valid contacts have finite depths, unit normals, and the far-separated
+    body contributes no contacts. (The fused Pallas SAT comparison variant
+    was removed in r4 — it measured a ~3% end-to-end LOSS on the v5e; see
+    ROADMAP r4 losers.)"""
     from stillleben_tpu.physics.contacts import pair_contacts
 
     atlas, params, pairs = _mixed_world(4)
@@ -426,32 +376,23 @@ def test_pallas_sat_narrowphase_matches_xla(monkeypatch):
         ang_vel=jnp.zeros((4, 3), jnp.float32),
     )
 
-    monkeypatch.setenv("SL_PALLAS_SAT", "0")
-    ref = pair_contacts(atlas, state, params, pairs)
-    monkeypatch.setenv("SL_PALLAS_SAT", "1")
-    ker = pair_contacts(atlas, state, params, pairs)
-
-    r_valid = np.asarray(ref.valid)
-    k_valid = np.asarray(ker.valid)
-    assert r_valid.sum() > 4, "fixture has too few contacts to be meaningful"
-    np.testing.assert_array_equal(k_valid, r_valid)
-    m = r_valid
-    np.testing.assert_allclose(
-        np.asarray(ker.depth)[m], np.asarray(ref.depth)[m], atol=1e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(ker.point)[m], np.asarray(ref.point)[m], atol=1e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(ker.normal)[m], np.asarray(ref.normal)[m], atol=1e-5
-    )
-    np.testing.assert_array_equal(np.asarray(ker.body_a), np.asarray(ref.body_a))
-    np.testing.assert_array_equal(np.asarray(ker.body_b), np.asarray(ref.body_b))
+    c = pair_contacts(atlas, state, params, pairs)
+    valid = np.asarray(c.valid)
+    assert valid.sum() > 4, "fixture has too few contacts to be meaningful"
+    depth = np.asarray(c.depth)[valid]
+    normal = np.asarray(c.normal)[valid]
+    point = np.asarray(c.point)[valid]
+    assert np.isfinite(depth).all() and np.isfinite(point).all()
+    np.testing.assert_allclose(np.linalg.norm(normal, axis=-1), 1.0, atol=1e-4)
+    # body 3 sits 2 m away: no valid contact may involve it
+    ba = np.asarray(c.body_a)[valid]
+    bb = np.asarray(c.body_b)[valid]
+    assert not ((ba == 3) | (bb == 3)).any()
 
 
-def test_pallas_sat_through_settle(monkeypatch):
-    """A short settle run with the Pallas SAT matches the XLA narrowphase
-    end-to-end (same trajectories — the kernel is a drop-in)."""
+def test_settle_mixed_hulls():
+    """A short settle with heterogeneous hulls stays finite and above the
+    floor — end-to-end coverage of the masked SAT paths through the engine."""
     atlas, params, pairs = _mixed_world(3)
     floor = make_floor(height=0.0)
     cfg = default_config()
@@ -465,13 +406,8 @@ def test_pallas_sat_through_settle(monkeypatch):
         out, _ = jax.lax.scan(body, state, None, length=50)
         return out
 
-    monkeypatch.setenv("SL_PALLAS_SAT", "0")
-    ref = jax.jit(run)()
-    monkeypatch.setenv("SL_PALLAS_SAT", "1")
-    ker = jax.jit(run)()
-    np.testing.assert_allclose(
-        np.asarray(ker.pos), np.asarray(ref.pos), atol=1e-4
-    )
-    np.testing.assert_allclose(
-        np.asarray(ker.quat), np.asarray(ref.quat), atol=1e-4
-    )
+    out = jax.jit(run)()
+    pos = np.asarray(out.pos)
+    quat = np.asarray(out.quat)
+    assert np.isfinite(pos).all() and np.isfinite(quat).all()
+    assert pos[:, 2].min() > -0.01, "body sank through the floor"

@@ -216,32 +216,9 @@ print('fine_raster_tpg ok')
 """,
     ),
     (
-        "pallas_solver",
+        "settle_stack",
         """
-import os
 import numpy as np
-os.environ['SL_PALLAS_SOLVER'] = '1'
-import stillleben_tpu as sl
-sl.init()
-scene = sl.Scene((64, 64)); scene.seed(0)
-cube = sl.Mesh('primitive://cube'); cube.scale_to_bbox_diagonal(0.2)
-for _ in range(3):
-    scene.add_object(sl.Object(cube))
-scene.simulate_tabletop_scene()
-for o in scene.objects:
-    z = np.asarray(o.pose())[2, 3]
-    assert z > -0.01, f'body below floor: {z}'
-print('pallas_solver ok')
-""",
-    ),
-    (
-        "pallas_sat",
-        """
-import os
-import numpy as np
-import jax
-import jax.numpy as jnp
-from stillleben_tpu.physics.contacts import pair_contacts
 import stillleben_tpu as sl
 sl.init()
 scene = sl.Scene((64, 64)); scene.seed(0)
@@ -249,25 +226,11 @@ cube = sl.Mesh('primitive://cube'); cube.scale_to_bbox_diagonal(0.2)
 sph = sl.Mesh('primitive://sphere'); sph.scale_to_bbox_diagonal(0.25)
 for m in (cube, sph, cube, sph):
     scene.add_object(sl.Object(m))
-from stillleben_tpu.parallel.batch import template_from_scene
-from stillleben_tpu.physics.tabletop import stack_objects
-tpl = template_from_scene(scene)
-state = stack_objects(jax.random.PRNGKey(0), tpl.tabletop_geom, tpl.base_z)
-os.environ['SL_PALLAS_SAT'] = '0'
-ref = jax.jit(lambda s: pair_contacts(tpl.hull_atlas, s, tpl.body_params, tpl.pairs))(state)
-os.environ['SL_PALLAS_SAT'] = '1'
-ker = jax.jit(lambda s: pair_contacts(tpl.hull_atlas, s, tpl.body_params, tpl.pairs))(state)
-assert (np.asarray(ker.valid) == np.asarray(ref.valid)).all()
-m = np.asarray(ref.valid)
-assert np.allclose(np.asarray(ker.depth)[m], np.asarray(ref.depth)[m], atol=1e-5)
-assert np.allclose(np.asarray(ker.point)[m], np.asarray(ref.point)[m], atol=1e-5)
-os.environ['SL_PALLAS_SAT'] = '1'
-scene.seed(1)
 scene.simulate_tabletop_scene()
 for o in scene.objects:
     z = np.asarray(o.pose())[2, 3]
     assert z > -0.05, f'body below floor: {z}'
-print('pallas_sat ok', int(m.sum()))
+print('settle_stack ok')
 """,
     ),
     (

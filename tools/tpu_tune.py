@@ -32,36 +32,23 @@ CONFIGS = [
     ("baseline", {}),
     # --- raster (r4: compact-cell raster is the default; A/B the old path)
     ("classic", {"SL_RASTER": "classic"}),
-    # combined current-best: pairs128 + fused SAT at the vmap-safe block
-    ("best_r4", {"BENCH_NARROW_PAIRS": "128", "SL_PALLAS_SAT": "1"}),
-    # fused SAT at pair_block=32 (block=128 OOMed under vmap in the r4 sweep)
-    ("sat32", {"BENCH_NARROW_PAIRS": "128", "SL_PALLAS_SAT": "1",
-               "SL_SAT_BLOCK": "32"}),
-    # every2 cadence + pairs128 + gather-diet shading: the all-measured-
-    # winners candidate for TUNED.json
+    # every2 cadence + pairs128 + gather-diet shading (+sub8): the committed
+    # TUNED.json winner from the r4 sweep — re-measure it as the reference
     ("allwin", {"BENCH_CONTACT_GEN": "every2", "BENCH_NARROW_PAIRS": "128",
                 "SL_VSM_TAPS": "1", "SL_IBL_PREFILTER": "nearest",
                 "SL_TEX_DTYPE": "bf16"}),
     ("allwin_sub8", {"BENCH_CONTACT_GEN": "every2", "BENCH_NARROW_PAIRS": "128",
                      "SL_VSM_TAPS": "1", "SL_IBL_PREFILTER": "nearest",
                      "SL_TEX_DTYPE": "bf16", "BENCH_RENDER_SUB": "8"}),
-    # --- settle (profile r4: settle 102 ms/scene, ~50 of it narrowphase) ---
-    # fused VMEM SAT narrowphase: one launch per contact-gen call
-    ("sat", {"SL_PALLAS_SAT": "1"}),
+    # --- settle ---
     # broadphase budget 256 -> 128 (ablation: -43 ms/scene settle)
     ("pairs128", {"BENCH_NARROW_PAIRS": "128"}),
-    # fused VMEM contact-solver velocity loop (ops/contact_solver.py)
-    ("solver", {"SL_PALLAS_SOLVER": "1"}),
-    ("physics_combo", {"SL_PALLAS_SAT": "1", "BENCH_NARROW_PAIRS": "128",
-                       "SL_PALLAS_SOLVER": "1"}),
     # half-rate narrowphase: SAT gen every 2 substeps (TGS depth updates
     # in between) — pile-stability covered by test_physics every2 case
     ("every2", {"BENCH_CONTACT_GEN": "every2"}),
     ("every2_p128", {"BENCH_CONTACT_GEN": "every2",
                      "BENCH_NARROW_PAIRS": "128"}),
     # --- render ---
-    # fat-cell fine-raster grid: 8 tiles per DMA (ops/fine_raster.py)
-    ("tpg8", {"SL_FINE_TPG": "8"}),
     # texture sampler evaluation order A/B (shading.py): packed is default
     ("tex_hwc", {"SL_TEX_SAMPLER": "hwc"}),
     # binning capacity: halves the fine stage's K if quality holds
@@ -76,11 +63,9 @@ CONFIGS = [
     ("texbf16", {"SL_TEX_DTYPE": "bf16"}),
     ("diet", {"SL_VSM_TAPS": "1", "SL_IBL_PREFILTER": "nearest",
               "SL_TEX_DTYPE": "bf16"}),
-    # combined best-guess (update after singles measure)
-    ("combo", {"SL_PALLAS_SAT": "1", "BENCH_NARROW_PAIRS": "128",
-               "SL_VSM_TAPS": "1", "SL_IBL_PREFILTER": "nearest",
-               "SL_TEX_DTYPE": "bf16"}),
 ]
+# NOTE (r4): SL_PALLAS_SAT / SL_PALLAS_SOLVER / SL_FINE_TPG configs were
+# measured LOSERS on the v5e (ROADMAP r4 table) and the kernels were removed.
 
 _RUNNER = "_SL_TUNE_RUNNER"
 if os.environ.get(_RUNNER) != "1":
