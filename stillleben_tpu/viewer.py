@@ -138,6 +138,96 @@ class Viewer:
         bottom = np.concatenate([i_img, c_img], axis=1)
         return np.concatenate([top, bottom], axis=0)
 
+    # -- interaction core (shared by the window loop and scripted replay) ---------
+
+    def _make_arcball(self):
+        """Arcball around the scene content, seeded from the current camera
+        (reference viewer.cpp arcball over the framebuffer)."""
+        from .utils.arcball import ArcBall
+
+        centers = [o.pose()[:3, 3] for o in self.scene.objects]
+        center = np.mean(centers, axis=0) if centers else np.zeros(3)
+        cam = self.scene.camera_pose()
+        W, H = self.scene.viewport
+        return ArcBall(cam[:3, 3], center, -cam[:3, 1], (2 * W, 2 * H))
+
+    def handle_key(self, key: str) -> bool:
+        """One keyboard control (the reference viewer's imgui menu actions,
+        viewer.cpp). Returns True when the key changed viewer state."""
+        if key == " ":
+            self.toggle_simulation()
+        elif key == "r":
+            self.reset_objects()
+        elif key == "t":
+            self.tabletop_step_visualization()
+        elif key == "m":
+            self.cycle_shading()
+        elif key == "o":
+            self.ssao_enabled = not self.ssao_enabled
+        elif key == "i":
+            self.show_instances = not self.show_instances
+        elif key in ("+", "="):
+            self.adjust_exposure(0.5)
+        elif key == "-":
+            self.adjust_exposure(-0.5)
+        else:
+            return False
+        return True
+
+    def play_script(self, events, frame_cb=None):
+        """Drive the viewer through a saved interaction script — the headless
+        equivalent of the window event loop, running the SAME handlers
+        (arcball drag/zoom, keyboard controls, physics stepping). Events:
+
+        - ``("key", k)``: keyboard control (see handle_key)
+        - ``("drag", (x0, y0), (x1, y1), steps)``: arcball mouse drag
+        - ``("scroll", n)``: n zoom clicks (negative = out)
+        - ``("frames", n)``: n timer ticks (physics advances when running)
+
+        Returns the list of dashboard frames rendered after each
+        state-changing event (``frame_cb(event, frame)`` is called per frame).
+        """
+        ball = self._make_arcball()
+        frames = []
+
+        def emit(ev):
+            img = self.dashboard()
+            frames.append(img)
+            if frame_cb is not None:
+                frame_cb(ev, img)
+
+        for ev in events:
+            kind = ev[0]
+            if kind == "key":
+                if self.handle_key(ev[1]):
+                    emit(ev)
+            elif kind == "drag":
+                (x0, y0), (x1, y1), steps = ev[1], ev[2], ev[3]
+                ball.start(x0, y0)
+                moved = False
+                for s in range(1, steps + 1):
+                    f = s / steps
+                    moved |= bool(
+                        ball.drag(x0 + (x1 - x0) * f, y0 + (y1 - y0) * f)
+                    )
+                ball.stop()
+                if moved:
+                    self.scene.set_camera_pose(ball.camera_pose())
+                    emit(ev)
+            elif kind == "scroll":
+                n = ev[1]
+                for _ in range(abs(n)):
+                    ball.zoom(1.1 if n > 0 else 1 / 1.1)
+                self.scene.set_camera_pose(ball.camera_pose())
+                emit(ev)
+            elif kind == "frames":
+                for _ in range(ev[1]):
+                    self.step()
+                emit(ev)
+            else:
+                raise ValueError(f"unknown viewer script event: {ev!r}")
+        return frames
+
     # -- interactive front-end --------------------------------------------------------
 
     def run(self, out_path: str | None = None):
@@ -160,14 +250,7 @@ class Viewer:
         matplotlib.use("TkAgg")
         import matplotlib.pyplot as plt
 
-        from .utils.arcball import ArcBall
-
-        # arcball around the scene content, seeded from the current camera
-        centers = [o.pose()[:3, 3] for o in self.scene.objects]
-        center = np.mean(centers, axis=0) if centers else np.zeros(3)
-        cam = self.scene.camera_pose()
-        W, H = self.scene.viewport
-        ball = ArcBall(cam[:3, 3], center, -cam[:3, 1], (2 * W, 2 * H))
+        ball = self._make_arcball()
 
         fig, ax = plt.subplots(figsize=(12, 9))
         fig.canvas.manager.set_window_title("stillleben_tpu viewer")
@@ -200,25 +283,11 @@ class Viewer:
             dirty["flag"] = True
 
         def on_key(ev):
-            if ev.key == " ":
-                self.toggle_simulation()
-            elif ev.key == "r":
-                self.reset_objects()
-            elif ev.key == "t":
+            if ev.key == "t":  # live per-iteration redraw needs the window cb
                 self.tabletop_step_visualization(callback=lambda i: redraw())
-            elif ev.key == "m":
-                self.cycle_shading()
-            elif ev.key == "o":
-                self.ssao_enabled = not self.ssao_enabled
-            elif ev.key == "i":
-                self.show_instances = not self.show_instances
-            elif ev.key in ("+", "="):
-                self.adjust_exposure(0.5)
-            elif ev.key == "-":
-                self.adjust_exposure(-0.5)
-            else:
-                return
-            dirty["flag"] = True
+                dirty["flag"] = True
+            elif self.handle_key(ev.key or ""):
+                dirty["flag"] = True
 
         def on_timer():
             if self.run_simulation:

@@ -257,6 +257,46 @@ def test_viewer_interactive_controls(cube_glb):
     assert img.shape == (96, 96, 3)
 
 
+def test_viewer_play_script(cube_glb):
+    """A saved interaction script drives the SAME handlers as the window
+    event loop (arcball drag, zoom, keys, physics frames) and produces a
+    frame per state change — the headless demonstration of interactivity
+    (tools/viewer_demo.py runs the full canned session)."""
+    mesh = sl.Mesh(cube_glb)
+    scene = sl.Scene((48, 48))
+    obj = sl.Object(mesh)
+    T = np.eye(4, dtype=np.float32)
+    T[2, 3] = 0.6
+    obj.set_pose(T)
+    scene.add_object(obj)
+    scene.set_camera_look_at([3.0, 0.0, 1.0], [0.0, 0.0, 0.5])
+
+    v = sl.Viewer(scene)
+    W, H = scene.viewport
+    cam0 = scene.camera_pose().copy()
+    events = [
+        ("drag", (W, H), (int(W * 1.6), H), 5),  # orbit
+        ("scroll", 2),                            # zoom in
+        ("key", " "),                             # run physics
+        ("frames", 5),                            # cube falls
+        ("key", "i"),                             # class segmentation
+    ]
+    seen = []
+    frames = v.play_script(events, frame_cb=lambda ev, img: seen.append(ev[0]))
+    assert seen == ["drag", "scroll", "key", "frames", "key"]
+    assert len(frames) == 5 and all(f.shape == (96, 96, 3) for f in frames)
+    # the drag actually orbited the camera (rigid, radius preserved by zoom
+    # semantics is covered in test_arcball_orbit)
+    assert not np.allclose(scene.camera_pose(), cam0, atol=1e-4)
+    # the physics frames actually advanced the simulation
+    assert v.sim_iteration == 5
+    assert scene.objects[0].pose()[2, 3] < 0.6 - 1e-3
+    # consecutive frames differ (the script visibly changed the image)
+    assert any(
+        (frames[i] != frames[i + 1]).any() for i in range(len(frames) - 1)
+    )
+
+
 def test_arcball_orbit():
     """Arcball drags orbit the eye at constant radius and keep the pose rigid
     (reference src/utils/arc_ball.cpp behavior)."""

@@ -57,7 +57,12 @@ def main():
     from stillleben_tpu.render.frame import FrameConfig
 
     tpl = benchmod.build_template(WORKLOAD)
-    solver_cfg = default_config()
+    # honor the bench/TUNED physics knobs so the profile reflects the
+    # shipped configuration (bench.py:259-262 reads the same env)
+    solver_cfg = default_config()._replace(
+        contact_gen=os.environ.get("BENCH_CONTACT_GEN", "substep"),
+        max_narrow_pairs=int(os.environ.get("BENCH_NARROW_PAIRS", "256")),
+    )
 
     import numpy as np
 
