@@ -129,37 +129,47 @@ def rasterize_vertices_cells(
     znorm = jnp.clip(zmin / far, 0.0, 1.0) * 0.999
     sentinel = jnp.float32(n_tiles + 2)
 
-    # Pair building is overhead-bound, not bytes-bound: every op below must
-    # avoid F-sized scatters/gathers where a direct masked expression works
-    # (measured 38 -> ~? ms/scene on the v5e; see ROADMAP r4).
+    # Pair building is overhead-bound, not bytes-bound. TPU scatters cost
+    # ~27 ns per UPDATE, so the old cumsum + .at[].set compaction (3 F-sized
+    # scatters) was ~10 ms/scene of the bench frame. Compaction is now ONE
+    # stable face sort by class + static-size dynamic-slice windows:
     #
-    # One-tile class (the bulk of a dense mesh): NO compaction. The pair
-    # list is sorted afterwards anyway, so a cumsum+scatter permutation to
-    # the front buys nothing — emit one slot per face, masked to the
-    # sort-to-the-end sentinel.
+    #   sorted ids = [class2... | class4... | big... | rest]
+    #
+    # Each class reads a fixed-cap window at its (traced) start offset.
+    # Overflow cascades FOR FREE out of window adjacency: when class2
+    # outgrows cap2, the class4 window (starting right after the clamped
+    # class2 window) picks up the excess faces and emits them as 4x4 spans —
+    # the per-slot (sx < span_x) & (sy < span_y) masks keep exactly the
+    # covered tiles, so a wider emission class is conservative-correct, and
+    # class4 overflow likewise falls into the all-tiles big window. Only
+    # big-beyond-capacity drops (as before: a rare pathological-scene guard).
+    #
+    # One-tile class (the bulk of a dense mesh): no compaction at all — one
+    # direct masked slot per face; the pair sort puts sentinels last anyway.
     tilef = ty0.astype(jnp.float32) * tw + tx0.astype(jnp.float32)
     key1 = jnp.where(one_tile, tilef + znorm, sentinel)
     tri1 = arangeF
 
-    # Spanning classes: compaction is needed (slots = cap * span^2), but as
-    # ONE cumsum (shared, stacked masks), ONE scatter per class (the ok-mask
-    # falls out of the class count — no second scatter), and ONE packed
-    # row-gather of the per-face fields instead of five 1D gathers.
-    #
     # Caps are sized to measured populations (bench scene: class2 ~38k of
-    # 211k F, class4 <50) with overflow CASCADED to the big list (covers
-    # every tile — conservative-correct) instead of dropped, so tight caps
-    # cost pathological scenes bandwidth, not correctness.
+    # 211k F, class4 <50); the cascade makes tight caps cost pathological
+    # scenes bandwidth, not correctness.
     cap2 = int(min(F, max(32768, F // 3)))
     cap4 = int(min(F, max(2048, F // 64)))
-    masks24 = jnp.stack([class2, class4])
-    ranks24 = jnp.cumsum(masks24.astype(jnp.int32), axis=-1)
-    over2 = class2 & (ranks24[0] > cap2)
-    over4 = class4 & (ranks24[1] > cap4)
-    big = big | over2 | over4
-    masks = jnp.concatenate([masks24, big[None]])
-    ranks = jnp.concatenate([ranks24, jnp.cumsum(big.astype(jnp.int32))[None]])
-    counts = ranks[:, -1]
+    class_key = jnp.where(class2, 0, jnp.where(class4, 1, jnp.where(big, 2, 3)))
+    _, sorted_ids = jax.lax.sort(
+        (class_key.astype(jnp.int32), arangeF), num_keys=1
+    )
+    # pad so no window's dynamic_slice can CLAMP at the array end (a clamped
+    # slice would shift backwards and pull in faces of the wrong class —
+    # including inactive ones, which the maskless big emission would raster)
+    sorted_ids = jnp.pad(
+        sorted_ids, (0, cap2 + cap4 + big_capacity), constant_values=-1
+    )
+    count2 = jnp.sum(class2.astype(jnp.int32))
+    count4 = jnp.sum(class4.astype(jnp.int32))
+    countb = jnp.sum(big.astype(jnp.int32))
+
     packed = jnp.stack(
         [
             tx0.astype(jnp.float32),
@@ -169,15 +179,16 @@ def rasterize_vertices_cells(
             znorm,
         ],
         axis=1,
-    )  # (F, 5) row-major: one row gather per compacted id
+    )  # (F, 5) row-major: one row gather per windowed id
 
-    def _compact(c, cap):
-        rank = ranks[c] - 1
-        src = jnp.where(masks[c] & (rank < cap), rank, cap)
-        ids = (
-            jnp.zeros((cap + 1,), jnp.int32).at[src].set(arangeF, mode="drop")[:cap]
-        )
-        ok = jnp.arange(cap, dtype=jnp.int32) < counts[c]
+    start2 = jnp.int32(0)
+    start4 = jnp.minimum(count2, cap2)
+    startb = start4 + jnp.minimum(count2 + count4 - start4, cap4)
+    end_all = count2 + count4 + countb
+
+    def _window(start, cap, n_in):
+        ids = jax.lax.dynamic_slice(sorted_ids, (start,), (cap,))
+        ok = jnp.arange(cap, dtype=jnp.int32) < n_in
         return ids, ok
 
     def _span_keys(ids, ok, span_budget):
@@ -193,14 +204,14 @@ def rasterize_vertices_cells(
         tri = jnp.broadcast_to(ids[None, :], (n_slots, ids.shape[0])).reshape(-1)
         return key, tri
 
-    ids2, ok2 = _compact(0, cap2)
-    ids4, ok4 = _compact(1, cap4)
+    ids2, ok2 = _window(start2, cap2, count2)
+    ids4, ok4 = _window(start4, cap4, startb - start4)
     key2, tri2 = _span_keys(ids2, ok2, 2)
     key4, tri4 = _span_keys(ids4, ok4, SPAN_TILES)
 
-    # big class: compacted list x EVERY tile (the conservative cover for
-    # spans > 4x4 and for triangles with a vertex behind the camera)
-    big_ids, big_okv = _compact(2, big_capacity)
+    # big window: remaining compacted faces x EVERY tile (the conservative
+    # cover for spans > 4x4, overflow, and behind-camera-vertex triangles)
+    big_ids, big_okv = _window(startb, big_capacity, end_all - startb)
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     keyb = jnp.where(
         big_okv[None, :],

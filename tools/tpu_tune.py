@@ -40,6 +40,17 @@ CONFIGS = [
     ("allwin_sub8", {"BENCH_CONTACT_GEN": "every2", "BENCH_NARROW_PAIRS": "128",
                      "SL_VSM_TAPS": "1", "SL_IBL_PREFILTER": "nearest",
                      "SL_TEX_DTYPE": "bf16", "BENCH_RENDER_SUB": "8"}),
+    # settle amortization: generate_batch settles the WHOLE batch in one
+    # vmapped program before rendering in render_sub chunks, so a bigger
+    # batch amortizes settle's dispatch-bound cost at flat render pressure
+    ("allwin_sub8_b16", {"BENCH_CONTACT_GEN": "every2",
+                         "BENCH_NARROW_PAIRS": "128", "SL_VSM_TAPS": "1",
+                         "SL_IBL_PREFILTER": "nearest", "SL_TEX_DTYPE": "bf16",
+                         "BENCH_RENDER_SUB": "8", "BENCH_BATCH": "16"}),
+    ("allwin_sub8_b32", {"BENCH_CONTACT_GEN": "every2",
+                         "BENCH_NARROW_PAIRS": "128", "SL_VSM_TAPS": "1",
+                         "SL_IBL_PREFILTER": "nearest", "SL_TEX_DTYPE": "bf16",
+                         "BENCH_RENDER_SUB": "8", "BENCH_BATCH": "32"}),
     # --- settle ---
     # broadphase budget 256 -> 128 (ablation: -43 ms/scene settle)
     ("pairs128", {"BENCH_NARROW_PAIRS": "128"}),
