@@ -121,9 +121,15 @@ def build_template(workload):
     if workload == "textured":
         sun_dir = np.array([0.3, 0.5, -0.8], np.float32)
         sun_dir /= np.linalg.norm(sun_dir)
-        scene.light_map = LightMap.from_equirect(
-            _sky_equirect(), lights=[(sun_dir, np.array([3.0, 2.8, 2.5], np.float32))]
-        )
+        lights = [(sun_dir, np.array([3.0, 2.8, 2.5], np.float32))]
+        # reference default is NumLights=3 (common.h:17) with a shadow pass
+        # per active light; the default bench .ibl carries one sun (typical
+        # for YCB sIBL files) — BENCH_LIGHTS=3 measures the full-cost config
+        for extra in range(int(os.environ.get("BENCH_LIGHTS", "1")) - 1):
+            d = np.array([-0.5 + 0.2 * extra, -0.3, -0.9], np.float32)
+            d /= np.linalg.norm(d)
+            lights.append((d, np.array([1.5, 1.5, 1.6], np.float32)))
+        scene.light_map = LightMap.from_equirect(_sky_equirect(), lights=lights)
         scene.background_plane_size = [3.0, 3.0]
         scene.background_plane_texture = sl.Texture2D(_checker_texture())
 
@@ -217,6 +223,23 @@ def run_rung(idx: int) -> None:
     from stillleben_tpu.render.frame import FrameConfig
 
     workload, label, over = RUNGS[idx]
+    refmode = os.environ.get("BENCH_REFMODE", "0") == "1"
+    if refmode:
+        # reference-default quality config (VERDICT r4 item 7): PCF 4x4
+        # shadows (render_shader.frag:313-370), exact 64-sample SSAO
+        # (ssao_shader.frag:13-57), 3 shadow lights (common.h:17), f32
+        # textures, full-rate substep narrowphase with the 256-pair budget —
+        # no TUNED.json knobs. Reported as its own JSON line so tuned-mode
+        # quality deltas are never silent.
+        label = "refmode"
+        os.environ.update({
+            "BENCH_CONTACT_GEN": "substep",
+            "BENCH_NARROW_PAIRS": "256",
+            "SL_VSM_TAPS": "4",
+            "SL_IBL_PREFILTER": "trilinear",
+            "SL_TEX_DTYPE": "f32",
+            "BENCH_LIGHTS": "3",
+        })
     if label == "tuned":
         # measured-winner env from tools/tpu_tune.py; no file = skip rung
         tuned_path = os.path.join(_REPO, "TUNED.json")
@@ -224,8 +247,15 @@ def run_rung(idx: int) -> None:
             sys.exit(4)
         with open(tuned_path) as f:
             tuned = json.load(f)
-        os.environ.update({k: str(v) for k, v in tuned.get("env", {}).items()})
-        print(f"bench[tuned]: applying {tuned.get('env')}", file=sys.stderr,
+        applied = {}
+        for k, v in tuned.get("env", {}).items():
+            if k in os.environ:  # user-exported env wins over TUNED.json
+                print(f"bench[tuned]: keeping user {k}={os.environ[k]} "
+                      f"(TUNED.json wanted {v})", file=sys.stderr, flush=True)
+            else:
+                os.environ[k] = str(v)
+                applied[k] = str(v)
+        print(f"bench[tuned]: applying {applied}", file=sys.stderr,
               flush=True)
     chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     sub = int(os.environ.get("BENCH_RENDER_SUB", "4"))
@@ -249,6 +279,11 @@ def run_rung(idx: int) -> None:
         sample_stickers=False,
     )
     kw.update(over)
+    if refmode:
+        kw.update(
+            shadow_mode="pcf", ssao_mode="reference", max_lights=3,
+            texture_filter="trilinear", shadow_size=0,  # auto: 2048^2 on TPU
+        )
     cfg = FrameConfig(**kw)
 
     try:
@@ -282,6 +317,17 @@ def run_rung(idx: int) -> None:
         from stillleben_tpu.parallel.batch import generate_stream
 
         n_stream = int(os.environ.get("BENCH_STREAM_BATCHES", "4"))
+        # default: the compact training subset, narrowed on device (~3 MB vs
+        # ~20 MB/scene) — readback bytes decide this number whenever the
+        # host link is slower than the chip. BENCH_STREAM_FIELDS=full reads
+        # back every GT plane at f32.
+        fields_env = os.environ.get(
+            "BENCH_STREAM_FIELDS", "rgb,instance_index,class_index,depth"
+        )
+        gt_fields = (
+            None if fields_env == "full"
+            else tuple(f for f in fields_env.split(",") if f)
+        )
         signal.signal(signal.SIGALRM, _alarm)
         signal.alarm(WARM_BUDGET)
         try:
@@ -289,13 +335,17 @@ def run_rung(idx: int) -> None:
             got = 0
             for frames in generate_stream(
                 tpl, cfg, solver_cfg, batch=batch, n_batches=n_stream,
-                seed=7, render_sub_batch=sub,
+                seed=7, render_sub_batch=sub, gt_fields=gt_fields,
             ):
-                got += int(np.asarray(frames.rgb).shape[0])
+                lead = (
+                    next(iter(frames.values()))
+                    if isinstance(frames, dict) else frames.rgb
+                )
+                got += int(np.asarray(lead).shape[0])
             steady = got / (time.perf_counter() - t0)
             print(
                 f"bench[{label}]: steady-state {steady:.2f} scenes/s "
-                f"({got} scenes, prefetch=2)",
+                f"({got} scenes, prefetch=2, fields={fields_env})",
                 file=sys.stderr, flush=True,
             )
         except _Watchdog:
@@ -378,7 +428,10 @@ def main():
 
     budget = WARM_BUDGET * (1 + REPEATS) + 300  # backstop only; the child's
     # own SIGALRM should always fire first (clean exit keeps the relay sane)
+    refmode = os.environ.get("BENCH_REFMODE", "0") == "1"
     for idx, (workload, label, _) in enumerate(RUNGS):
+        if refmode and label != "full":
+            continue  # refmode measures exactly one config: reference quality
         if not device_ok and label != "cpu_fallback_not_tpu":
             continue  # relay down: jump straight to the CPU rung
         if label == "tuned" and not os.path.exists(

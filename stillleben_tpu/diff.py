@@ -30,8 +30,8 @@ arrays instead of torch tensors):
   diff.py:344-346) — mirrored.
 - ``soft_forward(scene, render_results, obs_rgb, loss_fn)``
   (diff.py:130-213): blends up to 5 depth-peeled layers with weights
-  [0.7, 0.3, 0.1, 0.1, 0.05], Gaussian-blurs (5x5 sigma 1), runs the loss and
-  returns per-layer vertex/color gradients.
+  [0.7, 0.3, 0.1, 0.1, 0.05], Gaussian-blurs (11x11 sigma 1), runs the loss
+  and returns per-layer vertex/color gradients.
 - ``apply_pose_delta(pose, delta, orthonormalize=True)`` (diff.py:525-590):
   T0 @ (I + [delta]) with SVD re-orthonormalization, batched.
 """
@@ -44,7 +44,7 @@ import numpy as np
 
 from .core import math as _m
 
-KS = 5  # Gaussian kernel size used by soft_forward (reference diff.py:57)
+KS = 11  # Gaussian kernel size used by soft_forward (reference diff.py:65)
 DB_WEIGHTS = (0.7, 0.3, 0.1, 0.1, 0.05)  # depth-peel blend weights
 
 

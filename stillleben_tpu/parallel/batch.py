@@ -269,22 +269,53 @@ def generate_batch_sharded(
         mesh = make_device_mesh()
     from .distributed import shard_keys
 
+    B = keys.shape[0]
+    D = int(mesh.devices.size)
+    pad = (-B) % D  # shard_map needs an even split; excess scenes are real
+    # work (fresh keys), trimmed off the sharded output below
+    if pad:
+        extra = jax.vmap(lambda k: jax.random.fold_in(k, 977))(keys[:pad])
+        keys = jnp.concatenate([keys, extra], axis=0)
     keys = shard_keys(keys, mesh)
-    return _sharded_batch_fn(mesh)(
+    out = _sharded_batch_fn(mesh)(
         keys, tpl, cfg, solver_cfg, settle_iterations=settle_iterations
     )
+    if pad:
+        out = jax.tree.map(lambda x: x[:B], out)
+    return out
 
 
 @lru_cache(maxsize=8)
 def _sharded_batch_fn(mesh):
-    """jit of the batch pipeline with outputs PINNED to the scene-axis
-    sharding (out_shardings) — XLA cannot silently replicate the rendered
-    batch, so every chip keeps exactly its own scenes in HBM."""
+    """The batch pipeline under ``shard_map``: each device runs the WHOLE
+    settle+render pipeline on its local scene slice, so per-device code is
+    identical to the single-chip program and the compiled module contains
+    ZERO collectives (asserted by __graft_entry__._measure_scaling).
+
+    The earlier jit+out_shardings formulation let the SPMD partitioner
+    propagate shardings through the render sub-batch ``lax.map``, whose
+    (n_groups, sub, ...) reshape crosses device boundaries — every map step
+    all-gathered the sliced poses/cameras. shard_map makes the scene split
+    explicit instead of inferred, which is the whole point of the axis
+    being embarrassingly parallel."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    ns = NamedSharding(mesh, P(mesh.axis_names))
+    axes = P(mesh.axis_names)
+    ns = NamedSharding(mesh, axes)
+
+    def run(keys, tpl, cfg, solver_cfg, settle_iterations, render_sub_batch=8):
+        local = jax.shard_map(
+            lambda k, t: _generate_batch_impl(
+                k, t, cfg, solver_cfg,
+                settle_iterations=settle_iterations,
+                render_sub_batch=render_sub_batch,
+            ),
+            mesh=mesh, in_specs=(axes, P()), out_specs=axes, check_vma=False,
+        )
+        return local(keys, tpl)
+
     return jax.jit(
-        _generate_batch_impl,
+        run,
         static_argnames=("cfg", "solver_cfg", "settle_iterations", "render_sub_batch"),
         out_shardings=ns,
     )
@@ -302,6 +333,7 @@ def generate_stream(
     render_sub_batch: int = 8,
     settle_iterations: int = tt.MAX_ITERATIONS,
     prefetch: int = 2,
+    gt_fields: "tuple[str, ...] | None" = None,
 ):
     """Host-pipelined datagen stream: yields HOST (numpy) RenderedFrame
     batches while the device renders ahead.
@@ -314,6 +346,15 @@ def generate_stream(
     consumes batch k — steady-state throughput is max(device, host) rather
     than their sum.
 
+    ``gt_fields``: names of RenderedFrame fields to read back (None = the
+    full frame). When set, each yielded batch is a dict of numpy arrays and
+    wide f32 GT planes are narrowed ON DEVICE before readback (depth and
+    other float buffers -> f16, rgb stays u8, index maps stay u16) — the
+    full f32 set is ~20 MB/scene at 640x480 while
+    ("rgb", "instance_index", "class_index", "depth") is ~3 MB, which is
+    what decides throughput whenever the host link, not the chip, is the
+    bottleneck (a training consumer typically needs exactly that subset).
+
     ``n_batches=None`` streams forever (the caller breaks). With ``mesh``
     the scene axis is sharded over the mesh (generate_batch_sharded);
     fetching then gathers each chip's scenes to host.
@@ -322,6 +363,22 @@ def generate_stream(
     from collections import deque
 
     import numpy as np
+
+    narrow = None
+    if gt_fields is not None:
+        bad = set(gt_fields) - set(RenderedFrame._fields)
+        if bad:
+            raise ValueError(f"unknown gt_fields {sorted(bad)}")
+
+        @jax.jit
+        def narrow(frames):
+            out = {}
+            for f in gt_fields:
+                x = getattr(frames, f)
+                if x.dtype == jnp.float32:
+                    x = x.astype(jnp.float16)
+                out[f] = x
+            return out
 
     def _fetch(frames):
         return jax.tree.map(np.asarray, frames)
@@ -343,6 +400,8 @@ def generate_stream(
                 settle_iterations=settle_iterations,
                 render_sub_batch=render_sub_batch,
             )
+        if narrow is not None:
+            out = narrow(out)
         pending.append(out)
         if len(pending) > prefetch:
             yield _fetch(pending.popleft())

@@ -25,6 +25,30 @@ CONTACTS_PER_FLOOR_HULL = 4
 CONTACTS_PER_PAIR = 8  # 4 deepest of B in A + 4 of A in B
 
 
+def _topk_last(x: jax.Array, k: int):
+    """Descending top-k along the last axis via k masked-max rounds.
+
+    Functional twin of ``jax.lax.top_k`` for SMALL k over a short axis
+    (contact selection: k<=8 over <=64 hull verts), built from elementwise
+    ops + reductions only. lax.top_k's SPMD partition rule ALL-GATHERS the
+    batch axes (measured in __graft_entry__._measure_scaling: every settle
+    substep of the scenes-sharded dryrun paid a batch all-gather); max/min
+    reductions partition trivially, so this keeps the scene axis sharded.
+    Ties resolve to the lowest index, matching lax.top_k."""
+    n = x.shape[-1]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    cur = x
+    vals, idxs = [], []
+    for _ in range(k):
+        v = jnp.max(cur, axis=-1)
+        hit = cur == v[..., None]
+        i = jnp.min(jnp.where(hit, iota, n), axis=-1).astype(jnp.int32)
+        vals.append(v)
+        idxs.append(i)
+        cur = jnp.where(iota == i[..., None], -jnp.inf, cur)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 class Floor(NamedTuple):
     """Static environment plane z = height with material (the tabletop floor
     box top surface, reference src/scene.cpp:640-668: static/dynamic
@@ -106,7 +130,7 @@ def floor_contacts(
     sep = wv[..., 2] - floor.height  # (NH, VH) signed distance (+ above)
     sep = jnp.where(atlas.vert_valid, sep, jnp.inf)
     k = CONTACTS_PER_FLOOR_HULL
-    neg_sep, idx = jax.lax.top_k(-sep, k)  # deepest first
+    neg_sep, idx = _topk_last(-sep, k)  # deepest first
     depth = neg_sep  # (NH, k) penetration (>0 below plane)
     pts = jnp.take_along_axis(wv, idx[..., None], axis=1)  # (NH, k, 3)
     body = atlas.hull_body  # (NH,)
@@ -166,6 +190,9 @@ def pair_contacts(
         pa, pb = pairs[:, 0], pairs[:, 1]
         d = jnp.linalg.norm(wc[pa] - wc[pb], axis=-1)
         overlap_score = atlas.radius[pa] + atlas.radius[pb] - d
+        # stays lax.top_k: k here is ~128 over thousands of pairs, where
+        # the k-round masked-max trick is slower; its batch all-gather
+        # under scene sharding only triggers when NP > max_narrow_pairs
         _, keep = jax.lax.top_k(overlap_score, max_narrow_pairs)
         pairs = pairs[keep]
 
@@ -294,7 +321,7 @@ def pair_contacts(
     )
 
     k = CONTACTS_PER_PAIR
-    depth, idx = jax.lax.top_k(score, k)  # (NP, k)
+    depth, idx = _topk_last(score, k)  # (NP, k)
     pts = jnp.take_along_axis(inc_verts, idx[..., None], axis=1)  # (NP, k, 3)
 
     np_pairs = pairs.shape[0]

@@ -144,6 +144,12 @@ def settle(
             # tabletop tests as the other cadences.
             from .engine import frame_fn
 
+            if substeps > 1 and substeps % 2 != 0:
+                raise ValueError(
+                    "contact_gen='every2' needs an even substep count "
+                    f"(got {substeps}): odd counts would silently run "
+                    "substeps//2*2 coarser substeps"
+                )
             n_blocks = max(substeps // 2, 1)
             block_sub = substeps // n_blocks
 

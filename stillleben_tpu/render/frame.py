@@ -45,7 +45,8 @@ class FrameConfig(NamedTuple):
     shadow_mode: str = "vsm"  # "vsm" (1 prefiltered tap, TPU-fast) |
     # "pcf" (reference-exact 4x4 compare, render_shader.frag:321-338) |
     # "off" (no shadow maps at all)
-    texture_filter: str = "trilinear"  # mip-mapped "trilinear" (reference GL
+    texture_filter: str = "trilinear"  # mip-mapped "trilinear" (reference GL;
+    # "aniso" = SL_ANISO_TAPS-tap anisotropic analogue of context.cpp:635)
     # default, context.cpp:617-649) | "bilinear" (single mip tap, cheaper)
     shading_dtype: str = "auto"  # lighting-math precision: "auto" = bf16 on
     # TPU / f32 elsewhere; GT buffers are always f32

@@ -134,16 +134,18 @@ def rasterize_vertices_cells(
     # scatters) was ~10 ms/scene of the bench frame. Compaction is now ONE
     # stable face sort by class + static-size dynamic-slice windows:
     #
-    #   sorted ids = [class2... | class4... | big... | rest]
+    #   sorted ids = [big... | class2... | class4... | rest]
     #
     # Each class reads a fixed-cap window at its (traced) start offset.
-    # Overflow cascades FOR FREE out of window adjacency: when class2
+    # Big faces sort FIRST so nothing can evict them from the big_capacity
+    # slots (a dropped big face — e.g. the background plane — is the worst
+    # failure mode). Overflow cascades out of window adjacency: when class2
     # outgrows cap2, the class4 window (starting right after the clamped
     # class2 window) picks up the excess faces and emits them as 4x4 spans —
     # the per-slot (sx < span_x) & (sy < span_y) masks keep exactly the
-    # covered tiles, so a wider emission class is conservative-correct, and
-    # class4 overflow likewise falls into the all-tiles big window. Only
-    # big-beyond-capacity drops (as before: a rare pathological-scene guard).
+    # covered tiles, so a wider emission class is conservative-correct.
+    # Drops: big beyond big_capacity, and class4 beyond cap4 (both rare
+    # pathological-scene guards; caps are sized to measured populations).
     #
     # One-tile class (the bulk of a dense mesh): no compaction at all — one
     # direct masked slot per face; the pair sort puts sentinels last anyway.
@@ -156,7 +158,7 @@ def rasterize_vertices_cells(
     # scenes bandwidth, not correctness.
     cap2 = int(min(F, max(32768, F // 3)))
     cap4 = int(min(F, max(2048, F // 64)))
-    class_key = jnp.where(class2, 0, jnp.where(class4, 1, jnp.where(big, 2, 3)))
+    class_key = jnp.where(big, 0, jnp.where(class2, 1, jnp.where(class4, 2, 3)))
     _, sorted_ids = jax.lax.sort(
         (class_key.astype(jnp.int32), arangeF), num_keys=1
     )
@@ -181,10 +183,9 @@ def rasterize_vertices_cells(
         axis=1,
     )  # (F, 5) row-major: one row gather per windowed id
 
-    start2 = jnp.int32(0)
-    start4 = jnp.minimum(count2, cap2)
-    startb = start4 + jnp.minimum(count2 + count4 - start4, cap4)
-    end_all = count2 + count4 + countb
+    startb = jnp.int32(0)
+    start2 = countb  # class2 window starts after ALL bigs (clamped bigs drop)
+    start4 = start2 + jnp.minimum(count2, cap2)
 
     def _window(start, cap, n_in):
         ids = jax.lax.dynamic_slice(sorted_ids, (start,), (cap,))
@@ -205,13 +206,13 @@ def rasterize_vertices_cells(
         return key, tri
 
     ids2, ok2 = _window(start2, cap2, count2)
-    ids4, ok4 = _window(start4, cap4, startb - start4)
+    ids4, ok4 = _window(start4, cap4, countb + count2 + count4 - start4)
     key2, tri2 = _span_keys(ids2, ok2, 2)
     key4, tri4 = _span_keys(ids4, ok4, SPAN_TILES)
 
-    # big window: remaining compacted faces x EVERY tile (the conservative
-    # cover for spans > 4x4, overflow, and behind-camera-vertex triangles)
-    big_ids, big_okv = _window(startb, big_capacity, end_all - startb)
+    # big window: FIRST countb sorted faces x EVERY tile (the conservative
+    # cover for spans > 4x4 and behind-camera-vertex triangles)
+    big_ids, big_okv = _window(startb, big_capacity, countb)
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     keyb = jnp.where(
         big_okv[None, :],

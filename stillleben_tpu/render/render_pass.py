@@ -78,17 +78,20 @@ class RenderPassResult:
 class RenderPass:
     def __init__(self, shading: str = "pbr", ssao: bool = True,
                  shadow_mode: str = "vsm", ssao_mode: str = "fast",
-                 supersample: int = 1):
+                 supersample: int = 1, texture_filter: str = "trilinear"):
         if shading not in ("pbr", "phong", "flat"):
             raise ValueError(f"unknown shading type {shading!r}")
         if shadow_mode not in ("vsm", "pcf"):
             raise ValueError(f"unknown shadow mode {shadow_mode!r}")
+        if texture_filter not in ("trilinear", "bilinear", "aniso"):
+            raise ValueError(f"unknown texture filter {texture_filter!r}")
         if supersample < 1:
             raise ValueError("supersample must be >= 1")
         self._shading = "flat" if shading == "flat" else "pbr"
         self.ssao_enabled = ssao
         self.ssao_mode = ssao_mode
         self.shadow_mode = shadow_mode
+        self.texture_filter = texture_filter
         # anti-aliasing beyond the reference (its GL MRT path has no MSAA):
         # render at supersample^2 resolution; rgb/hdr box-downsample, GT
         # buffers take the center sample (indices/classes cannot average)
@@ -196,6 +199,7 @@ class RenderPass:
             sample_textures=has_tex,
             sample_stickers=has_sticker,
             shadow_mode=self.shadow_mode,
+            texture_filter=self.texture_filter,
             alpha_peel=has_cutout_materials(atlas),
             max_lights=max_lights,
         )

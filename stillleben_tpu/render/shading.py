@@ -348,7 +348,7 @@ def shade(
     sample_textures: bool = True,
     sample_stickers: bool = True,
     shadow_mode: str = "vsm",
-    texture_filter: str = "trilinear",  # "trilinear" (reference GL) | "bilinear"
+    texture_filter: str = "trilinear",  # "trilinear" (reference GL) | "bilinear" | "aniso" (multi-tap grazing-angle mode, context.cpp:635)
     shading_dtype: str = "auto",  # "auto" (bf16 on TPU) | "bf16" | "f32"
 ) -> FrameOutputs:
     H, W = gbuf.tri_id.shape
@@ -422,16 +422,52 @@ def shade(
         def _deriv(db):
             du = uvs[0][0] * db[0] + uvs[1][0] * db[1] + uvs[2][0] * db[2]
             dv = uvs[0][1] * db[0] + uvs[1][1] * db[1] + uvs[2][1] * db[2]
-            return du * du + dv * dv
+            return du, dv
 
-        foot2 = jnp.maximum(_deriv(db_dx), _deriv(db_dy))  # max axis footprint^2
-        lod = 0.5 * jnp.log2(
-            jnp.maximum(foot2 * (TEXTURE_SIZE * TEXTURE_SIZE), 1.0)
-        )
-        tex = sample_combo_mip_planar(
-            atlas.tex_combo, combo, uv[0], uv[1], lod,
-            trilinear=(texture_filter == "trilinear"),
-        )  # (16, H, W)
+        du_dx, dv_dx = _deriv(db_dx)
+        du_dy, dv_dy = _deriv(db_dy)
+        fx2 = du_dx * du_dx + dv_dx * dv_dx  # screen-x footprint^2 in UV
+        fy2 = du_dy * du_dy + dv_dy * dv_dy
+        if texture_filter == "aniso":
+            # Anisotropic sampling (reference uploads every mipmapped texture
+            # with setMaxAnisotropy(maxMaxAnisotropy()), context.cpp:635):
+            # the isotropic LOD uses the MAJOR footprint axis, blurring
+            # grazing-angle surfaces (the tabletop plane). Instead pick the
+            # LOD from the MINOR axis (clamped so the major/minor ratio is
+            # <= the tap count) and average SL_ANISO_TAPS trilinear taps
+            # spaced along the major-axis UV direction — the software
+            # analogue of EXT_texture_filter_anisotropic.
+            import os
+
+            n_taps = int(os.environ.get("SL_ANISO_TAPS", "4"))
+            major2 = jnp.maximum(fx2, fy2)
+            minor2 = jnp.maximum(
+                jnp.minimum(fx2, fy2), major2 / float(n_taps * n_taps)
+            )
+            lod = 0.5 * jnp.log2(
+                jnp.maximum(minor2 * (TEXTURE_SIZE * TEXTURE_SIZE), 1.0)
+            )
+            usex = fx2 >= fy2
+            dua = jnp.where(usex, du_dx, du_dy)
+            dva = jnp.where(usex, dv_dx, dv_dy)
+            tex = None
+            for k in range(n_taps):
+                t = (k + 0.5) / n_taps - 0.5
+                tap = sample_combo_mip_planar(
+                    atlas.tex_combo, combo, uv[0] + t * dua, uv[1] + t * dva,
+                    lod, trilinear=True,
+                )
+                tex = tap if tex is None else tex + tap
+            tex = tex / n_taps  # (16, H, W)
+        else:
+            foot2 = jnp.maximum(fx2, fy2)  # max axis footprint^2
+            lod = 0.5 * jnp.log2(
+                jnp.maximum(foot2 * (TEXTURE_SIZE * TEXTURE_SIZE), 1.0)
+            )
+            tex = sample_combo_mip_planar(
+                atlas.tex_combo, combo, uv[0], uv[1], lod,
+                trilinear=(texture_filter == "trilinear"),
+            )  # (16, H, W)
         base_color = jnp.concatenate(
             [base_color[:3] * tex[0:3], (base_color[3] * tex[3])[None]], axis=0
         )

@@ -158,6 +158,14 @@ def test_bp_to_vertices_returns_indices(grad_scene):
     assert gc[0].shape == (len(vi[0]), 3)
 
 
+def test_soft_forward_kernel_width():
+    # reference _init_diff uses an 11x11 sigma=1 Gaussian (diff.py:65)
+    assert diff.KS == 11
+    k = diff.gaussian_kernel(diff.KS, 1.0)
+    assert k.shape == (11, 11)
+    assert abs(float(k.sum()) - 1.0) < 1e-6
+
+
 def test_soft_forward(grad_scene):
     scene = grad_scene
     rp = sl.RenderPass(ssao=False)

@@ -216,3 +216,33 @@ def test_generate_stream_overlap(template, tmp_path):
         for i, img in enumerate(got[0].rgb):
             saver.save(img, str(tmp_path / f"rgb_{i:04d}.png"))
     assert len(list(tmp_path.glob("rgb_*.png"))) == 4
+
+
+def test_generate_stream_gt_subset(template):
+    """gt_fields reads back only the named planes, narrowed on device: f32
+    buffers -> f16, u8/u16 untouched (VERDICT r4 item 6 — readback bytes
+    decide steady-state throughput on link-bound rigs)."""
+    from stillleben_tpu.parallel.batch import generate_stream
+
+    fields = ("rgb", "instance_index", "class_index", "depth")
+    (frames,) = list(
+        generate_stream(
+            template, CFG, default_config(), batch=2, n_batches=1, seed=5,
+            settle_iterations=5, render_sub_batch=2, gt_fields=fields,
+        )
+    )
+    assert set(frames) == set(fields)
+    assert frames["rgb"].dtype == np.uint8
+    assert frames["instance_index"].dtype == np.uint16
+    assert frames["class_index"].dtype == np.uint16
+    assert frames["depth"].dtype == np.float16
+    assert frames["depth"].shape == (2, 24, 24)
+    assert (frames["instance_index"] > 0).sum() > 5
+
+    with pytest.raises(ValueError):
+        list(
+            generate_stream(
+                template, CFG, default_config(), batch=2, n_batches=1,
+                gt_fields=("rgb", "nope"),
+            )
+        )

@@ -74,6 +74,10 @@ CONFIGS = [
     ("texbf16", {"SL_TEX_DTYPE": "bf16"}),
     ("diet", {"SL_VSM_TAPS": "1", "SL_IBL_PREFILTER": "nearest",
               "SL_TEX_DTYPE": "bf16"}),
+    # anisotropic texture filtering (context.cpp:635 analogue): costs
+    # SL_ANISO_TAPS x the texture taps — measure before flipping any default
+    ("aniso4", {"BENCH_TEX_FILTER": "aniso"}),
+    ("aniso2", {"BENCH_TEX_FILTER": "aniso", "SL_ANISO_TAPS": "2"}),
 ]
 # NOTE (r4): SL_PALLAS_SAT / SL_PALLAS_SOLVER / SL_FINE_TPG configs were
 # measured LOSERS on the v5e (ROADMAP r4 table) and the kernels were removed.
