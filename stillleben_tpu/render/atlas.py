@@ -100,6 +100,16 @@ class SceneAtlas(NamedTuple):
     obj_sticker_tex: jax.Array  # (NB,) i32 texture id, -1 = no sticker
     num_objects: int  # static python int (incl. background plane slot if any)
 
+    # facing-cull eligibility (see _mesh_closedness): faces of consistently
+    # oriented near-watertight meshes. For these, main-pass backface culling
+    # is output-invariant (back faces of a closed surface always lose the
+    # z-test) even though the reference renders two-sided
+    # (render_pass.cpp:326); the reference's shadow pass front-face culls
+    # unconditionally (render_pass.cpp:428-429). Open geometry (background
+    # plane, low-closedness scans) stays two-sided everywhere.
+    face_cullable: jax.Array  # (FI,) bool
+    shadow_face_cullable: jax.Array  # (FS,) bool
+
 
 class RenderInputs(NamedTuple):
     """Per-frame traced inputs."""
@@ -185,6 +195,43 @@ def _build_combo_stack(mats, raw_textures, size):
     return _mip_chain_packed(np.stack(combo_list)), np.array(mat_combo, np.int32)
 
 
+def _mesh_closedness(positions: np.ndarray, faces: np.ndarray) -> float:
+    """Fraction of directed edges whose reverse edge exists exactly once.
+
+    1.0 = watertight and consistently wound (every directed edge (a, b) is
+    matched by one (b, a)) — the condition under which backface culling is
+    output-invariant. Vertices are canonicalized by POSITION first so UV/
+    normal seams introduced by consolidation don't read as boundary edges."""
+    if len(faces) == 0:
+        return 0.0
+    # canonicalize duplicated vertices (consolidation splits UV seams)
+    _, remap = np.unique(
+        np.round(np.asarray(positions, np.float64), 7),
+        axis=0, return_inverse=True,
+    )
+    f = remap[np.asarray(faces, np.int64)]
+    d = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+    d = d[d[:, 0] != d[:, 1]]  # degenerate edges can't pair
+    if len(d) == 0:
+        return 0.0
+    key = (d[:, 0] << 32) | d[:, 1]
+    rkey = (d[:, 1] << 32) | d[:, 0]
+    uk, cnt = np.unique(key, return_counts=True)
+    if (cnt > 1).mean() > 0.01:  # non-manifold fins: winding untrustworthy
+        return 0.0
+    pos = np.searchsorted(uk, rkey)
+    pos = np.clip(pos, 0, len(uk) - 1)
+    matched = (uk[pos] == rkey) & (cnt[pos] == 1)
+    return float(matched.mean())
+
+
+# near-watertight threshold for "auto" cull eligibility: scanned meshes keep
+# tiny boundary rings (e.g. the Stanford bunny's base holes); through-hole
+# pixels are the only possible deviation and tests/test_quality_knobs.py
+# bounds it on the bench composition.
+CULL_CLOSEDNESS = float(os.environ.get("SL_CULL_CLOSEDNESS", "0.98"))
+
+
 def has_cutout_materials(atlas: SceneAtlas) -> bool:
     """Host-side static check: can any material discard fragments below its
     alpha cutoff? Drives FrameConfig.alpha_peel (the raster-stage cutout
@@ -208,9 +255,10 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
     (reference render_pass.cpp:545-582).
     """
     pos_l, nrm_l, uv_l, col_l, tan_l, vid_l, vobj_l = [], [], [], [], [], [], []
-    face_l, fobj_l, fmat_l = [], [], []
-    spos_l, svobj_l, sface_l, sfobj_l = [], [], [], []  # shadow proxy
+    face_l, fobj_l, fmat_l, fcull_l = [], [], [], []
+    spos_l, svobj_l, sface_l, sfobj_l, sfcull_l = [], [], [], [], []
     sv_off = 0
+    closed_cache: dict[int, bool] = {}
     proxy_target = int(os.environ.get("SL_SHADOW_PROXY", "8192"))
     proxy_cache: dict[tuple, tuple] = {}
     mats = []  # list of dicts
@@ -312,6 +360,12 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
         vid_l.append(c.vertex_indices.astype(np.int32))
         vobj_l.append(np.full(nv, oi, np.int32))
 
+        if id(c) not in closed_cache:
+            closed_cache[id(c)] = (
+                _mesh_closedness(positions, c.faces) >= CULL_CLOSEDNESS
+            )
+        cullable = closed_cache[id(c)]
+
         # per-submesh materials -> per-face material ids
         mat_ids = {}
         for sm in c.sub_meshes:
@@ -326,6 +380,7 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
             n = sm.face_count
             fobj_l.append(np.full(n, oi, np.int32))
             fmat_l.append(np.full(n, fm, np.int32))
+            fcull_l.append(np.full(n, cullable, bool))
         obj_class.append(obj.mesh.class_index)
         v_off += nv
 
@@ -345,6 +400,9 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
         svobj_l.append(np.full(sp.shape[0], oi, np.int32))
         sface_l.append(np.asarray(sf, np.int64) + sv_off)
         sfobj_l.append(np.full(sf.shape[0], oi, np.int32))
+        # proxy inherits the ORIGINAL mesh's cullability (decimation keeps
+        # orientation; the depth-only pass tolerates its small defects)
+        sfcull_l.append(np.full(sf.shape[0], cullable, bool))
         sv_off += sp.shape[0]
 
     nb = len(all_objects)
@@ -366,6 +424,7 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
         vobj_l.append(np.full(4, nb, np.int32))
         face_l.append(np.array([[0, 1, 2], [0, 2, 3]], np.int64) + v_off)
         fobj_l.append(np.full(2, nb, np.int32))
+        fcull_l.append(np.zeros(2, bool))  # open quad: always two-sided
         tex = background_plane.get("texture")
         tid = add_texture(tex) if tex is not None else -1
         mats.append(
@@ -389,6 +448,7 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
         svobj_l.append(np.full(4, nb, np.int32))
         sface_l.append(np.array([[0, 1, 2], [0, 2, 3]], np.int64) + sv_off)
         sfobj_l.append(np.full(2, nb, np.int32))
+        sfcull_l.append(np.zeros(2, bool))
         sv_off += 4
         nb += 1
 
@@ -411,6 +471,7 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
         face_l.append(np.zeros((1, 3), np.int64))
         fobj_l.append(np.zeros(1, np.int32))
         fmat_l.append(np.zeros(1, np.int32))
+        fcull_l.append(np.zeros(1, bool))
         obj_class.append(0)
         sticker_tex_ids.append(-1)
         nb = max(nb, 1)
@@ -419,6 +480,7 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
         svobj_l.append(np.zeros(3, np.int32))
         sface_l.append(np.zeros((1, 3), np.int64))
         sfobj_l.append(np.zeros(1, np.int32))
+        sfcull_l.append(np.zeros(1, bool))
 
     # pad native-res stickers to the scene max dims (ragged -> one stack)
     if sticker_imgs:
@@ -477,6 +539,8 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
         obj_class=jnp.asarray(np.array(obj_class, np.int32)),
         obj_sticker_tex=jnp.asarray(np.array(sticker_tex_ids, np.int32)),
         num_objects=nb,
+        face_cullable=jnp.asarray(np.concatenate(fcull_l)),
+        shadow_face_cullable=jnp.asarray(np.concatenate(sfcull_l)),
     )
 
 

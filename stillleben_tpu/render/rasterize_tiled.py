@@ -26,6 +26,8 @@ tests assert pixel agreement between the two paths.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -70,8 +72,18 @@ def rasterize_vertices_cells(
     # with F — a whole dense mesh can land in a handful of tiles at small
     # viewports, so the budget must cover ~2 pair entries per triangle)
     stop_after: str | None = None,  # profiling bisect: return the stage's
-    # raw outputs early ("pairs"|"sort"|"cells"|"gather"|"kernel") so XLA
-    # dead-code-eliminates everything downstream; prefix deltas = stage cost
+    # raw outputs early ("classify"|"clsort"|"windows"|"pairs"|"sort"|
+    # "cells"|"gather"|"kernel") so XLA dead-code-eliminates everything
+    # downstream; prefix deltas = stage cost
+    cull_sign: int = 0,  # facing cull: keep faces with det*sign > 0 (det =
+    # projected-winding determinant; for CCW-front meshes under the CV
+    # projection det<0 faces the camera). 0 = two-sided (reference main-pass
+    # semantics, render_pass.cpp:326); -1 = backface cull (output-invariant
+    # for closed meshes); +1 = keep back faces (the reference's SHADOW pass
+    # front-face cull, render_pass.cpp:428-429). Behind-camera faces are
+    # never culled (projected winding undefined).
+    cull_mask: jax.Array | None = None,  # (F,) bool: faces eligible for the
+    # cull (atlas.face_cullable); None = all
 ):
     """Compact-cell binned z-buffer (see ops/cell_raster.py): ONE uniform
     (tile, depth)-sorted pair list for every size class — tiny triangles
@@ -109,6 +121,15 @@ def rasterize_vertices_cells(
     degenerate = all_front & (~on_screen | ~in_range)
     active = active & ~degenerate
 
+    if cull_sign:
+        det = jnp.einsum(
+            "fi,fi->f", v[..., 0, :], jnp.cross(v[..., 1, :], v[..., 2, :])
+        )
+        keep = ~all_front | (det * jnp.float32(cull_sign) > 0)
+        if cull_mask is not None:
+            keep = keep | ~cull_mask
+        active = active & keep
+
     tx0 = (x0 / tile).astype(jnp.int32)
     tx1 = (x1 / tile).astype(jnp.int32)
     ty0 = (y0 / tile).astype(jnp.int32)
@@ -131,34 +152,56 @@ def rasterize_vertices_cells(
 
     # Pair building is overhead-bound, not bytes-bound. TPU scatters cost
     # ~27 ns per UPDATE, so the old cumsum + .at[].set compaction (3 F-sized
-    # scatters) was ~10 ms/scene of the bench frame. Compaction is now ONE
+    # scatters) was ~10 ms/scene of the bench frame. Compaction is ONE
     # stable face sort by class + static-size dynamic-slice windows:
     #
-    #   sorted ids = [big... | class2... | class4... | rest]
+    #   sorted ids = [big... | one_tile... | class2... | class4... | rest]
     #
     # Each class reads a fixed-cap window at its (traced) start offset.
     # Big faces sort FIRST so nothing can evict them from the big_capacity
     # slots (a dropped big face — e.g. the background plane — is the worst
-    # failure mode). Overflow cascades out of window adjacency: when class2
-    # outgrows cap2, the class4 window (starting right after the clamped
-    # class2 window) picks up the excess faces and emits them as 4x4 spans —
-    # the per-slot (sx < span_x) & (sy < span_y) masks keep exactly the
-    # covered tiles, so a wider emission class is conservative-correct.
-    # Drops: big beyond big_capacity, and class4 beyond cap4 (both rare
-    # pathological-scene guards; caps are sized to measured populations).
+    # failure mode). Overflow cascades out of window adjacency: each
+    # narrower class is followed by a WIDER-emission window whose per-slot
+    # (sx < span_x) & (sy < span_y) masks keep exactly the covered tiles —
+    # one-tile overflow lands in the class2 window (emitted exactly: only
+    # slot (0,0) passes the span mask), class2 overflow in the class4
+    # window. Drops: big beyond big_capacity, and class4 beyond cap4 (both
+    # rare pathological-scene guards).
     #
-    # One-tile class (the bulk of a dense mesh): no compaction at all — one
-    # direct masked slot per face; the pair sort puts sentinels last anyway.
+    # The one-tile bulk is windowed too (not one direct slot per face): the
+    # bitonic pair sort's cost scales with the STATIC list length, so under
+    # a facing cull (cull_sign) the compaction is what converts "half the
+    # faces are inactive" into an actually smaller sort.
     tilef = ty0.astype(jnp.float32) * tw + tx0.astype(jnp.float32)
-    key1 = jnp.where(one_tile, tilef + znorm, sentinel)
-    tri1 = arangeF
+    if stop_after == "classify":
+        return tilef + znorm, one_tile, class2, class4, big
 
     # Caps are sized to measured populations (bench scene: class2 ~38k of
     # 211k F, class4 <50); the cascade makes tight caps cost pathological
-    # scenes bandwidth, not correctness.
+    # scenes bandwidth, not correctness. Under a facing cull the active set
+    # is ~(uncullable + 0.55 * cullable); caps shrink to match when the
+    # cull mask is a compile-time constant (atlas arrays are).
+    cap1 = F
     cap2 = int(min(F, max(32768, F // 3)))
     cap4 = int(min(F, max(2048, F // 64)))
-    class_key = jnp.where(big, 0, jnp.where(class2, 1, jnp.where(class4, 2, 3)))
+    if cull_sign:
+        try:
+            import numpy as _np
+
+            cm = (
+                _np.ones(F, bool) if cull_mask is None
+                else _np.asarray(cull_mask)
+            )
+            n_cullable = int(cm.sum())
+            cap1 = int(min(F, F - n_cullable + int(n_cullable * 0.62) + 1024))
+            cap2 = int(min(cap2, max(16384, cap2 * 2 // 3)))
+            cap4 = int(min(cap4, max(2048, cap4 * 2 // 3)))
+        except Exception:  # traced mask: keep full-size caps
+            pass
+    class_key = jnp.where(
+        big, 0,
+        jnp.where(one_tile, 1, jnp.where(class2, 2, jnp.where(class4, 3, 4))),
+    )
     _, sorted_ids = jax.lax.sort(
         (class_key.astype(jnp.int32), arangeF), num_keys=1
     )
@@ -166,11 +209,14 @@ def rasterize_vertices_cells(
     # slice would shift backwards and pull in faces of the wrong class —
     # including inactive ones, which the maskless big emission would raster)
     sorted_ids = jnp.pad(
-        sorted_ids, (0, cap2 + cap4 + big_capacity), constant_values=-1
+        sorted_ids, (0, cap1 + cap2 + cap4 + big_capacity), constant_values=-1
     )
+    count1 = jnp.sum(one_tile.astype(jnp.int32))
     count2 = jnp.sum(class2.astype(jnp.int32))
     count4 = jnp.sum(class4.astype(jnp.int32))
     countb = jnp.sum(big.astype(jnp.int32))
+    if stop_after == "clsort":
+        return sorted_ids, count1, count2, count4, countb
 
     packed = jnp.stack(
         [
@@ -184,8 +230,10 @@ def rasterize_vertices_cells(
     )  # (F, 5) row-major: one row gather per windowed id
 
     startb = jnp.int32(0)
-    start2 = countb  # class2 window starts after ALL bigs (clamped bigs drop)
-    start4 = start2 + jnp.minimum(count2, cap2)
+    start1 = countb  # one-tile window after ALL bigs (clamped bigs drop)
+    start2 = start1 + jnp.minimum(count1, cap1)
+    n_in2 = countb + count1 + count2 - start2  # class2 + one-tile overflow
+    start4 = start2 + jnp.minimum(n_in2, cap2)
 
     def _window(start, cap, n_in):
         ids = jax.lax.dynamic_slice(sorted_ids, (start,), (cap,))
@@ -205,10 +253,14 @@ def rasterize_vertices_cells(
         tri = jnp.broadcast_to(ids[None, :], (n_slots, ids.shape[0])).reshape(-1)
         return key, tri
 
-    ids2, ok2 = _window(start2, cap2, count2)
-    ids4, ok4 = _window(start4, cap4, countb + count2 + count4 - start4)
+    ids1, ok1 = _window(start1, cap1, count1)
+    ids2, ok2 = _window(start2, cap2, n_in2)
+    ids4, ok4 = _window(start4, cap4, countb + count1 + count2 + count4 - start4)
+    key1, tri1 = _span_keys(ids1, ok1, 1)
     key2, tri2 = _span_keys(ids2, ok2, 2)
     key4, tri4 = _span_keys(ids4, ok4, SPAN_TILES)
+    if stop_after == "windows":
+        return key1, tri1, key2, tri2, key4, tri4
 
     # big window: FIRST countb sorted faces x EVERY tile (the conservative
     # cover for spans > 4x4 and behind-camera-vertex triangles)
@@ -341,6 +393,8 @@ def rasterize_vertices(
     pixel_stage: bool = True,
     use_pallas: bool | None = None,
     tile: int = TILE,
+    cull_sign: int = 0,
+    cull_mask: jax.Array | None = None,
 ):
     """Core binned z-buffer. Returns (depth, tri_id, front) images; callers
     recompute barycentrics for the winners (differentiably, in shading).
@@ -364,6 +418,7 @@ def rasterize_vertices(
         return rasterize_vertices_cells(
             v, depth_attr, tri_active, width, height, near, far,
             big_capacity, min_depth, use_pallas, tile,
+            cull_sign=cull_sign, cull_mask=cull_mask,
         )
     F = v.shape[0]
     pix = tile * tile
@@ -394,6 +449,15 @@ def rasterize_vertices(
     active = tri_active & (zmax > near)
     degenerate = all_front & (~on_screen | ~in_range)
     active = active & ~degenerate
+
+    if cull_sign:
+        det = jnp.einsum(
+            "fi,fi->f", v[..., 0, :], jnp.cross(v[..., 1, :], v[..., 2, :])
+        )
+        keep = ~all_front | (det * jnp.float32(cull_sign) > 0)
+        if cull_mask is not None:
+            keep = keep | ~cull_mask
+        active = active & keep
 
     px_span_x = (x1.astype(jnp.int32) - x0.astype(jnp.int32)) + 1
     px_span_y = (y1.astype(jnp.int32) - y0.astype(jnp.int32)) + 1
@@ -840,10 +904,17 @@ def rasterize_tiled(
     if pixel_stage is None:
         # worth its sorting cost only for dense meshes (many sub-pixel tris)
         pixel_stage = faces.shape[0] > 20_000
+    # SL_BACKFACE_CULL=1: drop camera-back faces of closed meshes before
+    # pair building (output-invariant for watertight geometry; the
+    # near-watertight tail is bounded by tests/test_quality_knobs.py).
+    # Halves the pair/sort/cell load of dense scanned meshes.
+    backcull = os.environ.get("SL_BACKFACE_CULL", "0") != "0"
     depth_img, tri_img = rasterize_vertices(
         v, v[..., 2], visible, width, height, near, far,
         tile_capacity, big_capacity, fine_chunk, min_depth, pixel_stage,
         use_pallas,
+        cull_sign=-1 if backcull else 0,
+        cull_mask=atlas.face_cullable if backcull else None,
     )
     # bary/front are recomputed differentiably (and planar) in shading from
     # the winning triangle's vertices — don't pay the (H, W, 3, 3) gather here

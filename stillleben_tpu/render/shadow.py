@@ -89,6 +89,12 @@ def _ortho_rasterize_depth(
     tri_on: jax.Array,  # (F,)
     size: int,
     use_pallas: bool | None = None,
+    tri_cullable: jax.Array | None = None,  # (F,) closed-mesh faces eligible
+    # for the reference's shadow-pass FRONT-face cull
+    # (render_pass.cpp:428-429): only light-back faces write depth, which
+    # both halves the pair load and moves the stored depth to the caster's
+    # far side (the reference's acne-avoidance trick). SL_SHADOW_CULL=0
+    # reverts to the two-sided map.
 ) -> jax.Array:
     """Depth-only ortho rasterization -> (size, size) min-depth map (1 = far).
 
@@ -107,6 +113,16 @@ def _ortho_rasterize_depth(
     p = jnp.concatenate([xy, jnp.ones_like(xy[:, :1])], -1)[faces]  # (F,3,3)
     zf = z[faces]  # (F, 3)
 
+    # Default OFF: the reference's front-face cull (render_pass.cpp:428-429)
+    # suits its hard PCF compares, but our VSM default prefilters MOMENTS —
+    # removing the light-front surfaces leaves silhouette texels mixing
+    # caster-back depth with far background, which inflates the Chebyshev
+    # variance and eats the penumbra (measured: ground-shadow fraction
+    # 0.0096 -> 0.0034 on the proxy-agreement scene). The raster win is
+    # negligible anyway: shadow passes already draw the decimated proxy.
+    cull = os.environ.get("SL_SHADOW_CULL", "0") == "1"
+    cull_sign = 1 if (cull and tri_cullable is not None) else 0
+
     if (
         os.environ.get("SL_RASTER", "cells") == "cells"
         and use_pallas is not False
@@ -119,8 +135,18 @@ def _ortho_rasterize_depth(
             min_depth=None,
             use_pallas=use_pallas,
             tile=tile,
+            cull_sign=cull_sign,
+            cull_mask=tri_cullable,
         )
         return jnp.minimum(depth_img, 1.0)
+
+    if cull_sign:
+        # classic path: the tiny splat classes bypass rasterize_vertices, so
+        # the cull applies to tri_on up front (ortho: det = 2x signed area)
+        det = jnp.einsum(
+            "fi,fi->f", p[:, 0, :], jnp.cross(p[:, 1, :], p[:, 2, :])
+        )
+        tri_on = tri_on & (~tri_cullable | (det > 0))
 
     xmin = p[..., 0].min(-1)
     xmax = p[..., 0].max(-1)
@@ -243,6 +269,7 @@ def render_shadow_maps(atlas: SceneAtlas, inputs: RenderInputs, geom, cfg):
         d = _ortho_rasterize_depth(
             jnp.stack([u, v], -1), z, faces, tri_on, size,
             use_pallas=getattr(cfg, "use_pallas", None),
+            tri_cullable=atlas.shadow_face_cullable,
         )
         m_on = build_vsm(d) if mode == "vsm" else d
         map_i = jnp.where(light_on, m_on, jnp.ones_like(m_on))

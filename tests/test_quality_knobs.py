@@ -103,6 +103,29 @@ def test_knob_delta_bounded(lit_scene, env, mean_bound, max_bound):
     assert d.max() <= max_bound, f"{env}: max rgb delta {d.max():.0f}"
 
 
+def test_backface_cull_delta_bounded(lit_scene):
+    """SL_BACKFACE_CULL on a NEAR-watertight scan (the bunny's closedness is
+    0.999 — its base holes): culling is exact for closed regions, so the
+    only possible deviation is through-hole / exact-tangency pixels where a
+    back face used to win. Bounds those pixels; everywhere else every buffer
+    must be bit-identical (winner unchanged)."""
+    ref = _render(lit_scene, {})
+    alt = _render(lit_scene, {"SL_BACKFACE_CULL": "1"})
+
+    changed = (
+        (ref["inst"] != alt["inst"])
+        | (ref["depth"] != alt["depth"])
+    )
+    assert changed.mean() < 0.002, f"cull changed {changed.mean():.2%} px"
+    same = ~changed
+    # winner-unchanged pixels shade identically up to AUTO-EXPOSURE: the
+    # Yxy average-luminance exposure sees the hole pixels change, shifting
+    # the global scale by <=1 u8 count (tone_map_shader.frag:102-124
+    # semantics couple every pixel to the scene average)
+    d = np.abs(ref["rgb"][same] - alt["rgb"][same])
+    assert d.max() <= 2, f"same-winner rgb delta {d.max():.0f}"
+
+
 def test_aniso_filter_delta_bounded(lit_scene):
     """texture_filter="aniso" (context.cpp:635 analogue): same image up to a
     grazing-angle sharpening delta; GT buffers bit-identical."""

@@ -808,3 +808,60 @@ def test_shadow_proxy_matches_full_geometry(monkeypatch):
     assert (lum_f < 0.6 * bright).mean() > 0.005, "no shadow in full render"
     frac_disagree = (np.abs(lum_f - lum_p) > 40).mean()
     assert frac_disagree < 0.05, f"proxy shadows disagree on {frac_disagree:.1%}"
+
+
+def test_backface_cull_invariant_on_closed_mesh(cube_glb, bunny_gltf):
+    """SL_BACKFACE_CULL semantics (main pass): for a watertight,
+    consistently wound mesh, dropping camera-back faces cannot change any
+    z-buffer winner (the reference renders two-sided,
+    render_pass.cpp:326, so invariance IS the parity condition). The
+    raster is called eagerly so the cull_sign flag is not baked into a
+    cached jit trace."""
+    from stillleben_tpu.render import rasterize as rr
+    from stillleben_tpu.render import rasterize_tiled as rt
+    from stillleben_tpu.render.atlas import (
+        _mesh_closedness,
+        build_scene_atlas,
+        render_inputs_from_scene,
+    )
+
+    mesh = sl.Mesh(cube_glb, physics=False)
+    assert _mesh_closedness(
+        np.asarray(mesh.consolidated.positions),
+        np.asarray(mesh.consolidated.faces),
+    ) == 1.0
+
+    scene = sl.Scene((128, 128))
+    scene.add_object(sl.Object(mesh))
+    scene.choose_random_camera_pose()
+    atlas = build_scene_atlas(scene.objects)
+    assert bool(np.asarray(atlas.face_cullable).all())
+    inputs = render_inputs_from_scene(scene, atlas)
+    geom = rr.geometry_stage(atlas, inputs, 128, 128)
+    v = geom.pix_hom[atlas.faces]
+    vis = inputs.obj_visible[atlas.face_obj]
+
+    def run(sign):
+        d, t = rt.rasterize_vertices_cells(
+            v, v[..., 2], vis, 128, 128, 0.1, 10.0, 64, None,
+            cull_sign=sign, cull_mask=atlas.face_cullable,
+        )
+        return np.asarray(d), np.asarray(t)
+
+    d0, t0 = run(0)
+    d_back, t_back = run(-1)  # keep camera-facing: identical
+    np.testing.assert_array_equal(d0, d_back)
+    np.testing.assert_array_equal(t0, t_back)
+    d_front, _ = run(+1)  # keep only back faces: strictly farther
+    cover = np.isfinite(d0) & (d0 < 10.0)
+    assert (d_front[cover] > d0[cover] + 1e-4).mean() > 0.9
+
+    # near-watertight scan stays eligible; an open quad must not be
+    bunny = sl.Mesh(bunny_gltf, physics=False)
+    c = bunny.consolidated
+    assert _mesh_closedness(np.asarray(c.positions), np.asarray(c.faces)) > 0.99
+    quad_pos = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32
+    )
+    quad_faces = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+    assert _mesh_closedness(quad_pos, quad_faces) < 0.5

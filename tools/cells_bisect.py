@@ -76,6 +76,17 @@ def main():
     faces = atlas.faces
     print(f"faces: {faces.shape[0]}", flush=True)
 
+    # BIS_CULL=1: backface-cull closed meshes before pair building
+    cull = os.environ.get("BIS_CULL", "0") == "1"
+    cull_kw = dict(
+        cull_sign=-1 if cull else 0,
+        cull_mask=atlas.face_cullable if cull else None,
+    )
+    if cull:
+        print(f"backface cull ON (cullable: "
+              f"{float(jnp.mean(atlas.face_cullable.astype(jnp.float32))):.2f})",
+              flush=True)
+
     def raster_prefix(stop):
         @jax.jit
         def fn(geom, inputs):
@@ -84,14 +95,20 @@ def main():
                 visible = i.obj_visible[atlas.face_obj]
                 return rasterize_vertices_cells(
                     v, v[..., 2], visible, WIDTH, HEIGHT, 0.1, 10.0,
-                    64, None, stop_after=stop,
+                    64, None, stop_after=stop, **cull_kw,
                 )
 
             return jax.vmap(one)(geom, inputs)
 
         return fn
 
-    for stop in ["pairs", "sort", "cells", "gather", "kernel", None]:
+    stages = ["classify", "clsort", "windows", "pairs", "sort", "cells",
+              "gather", "kernel", None]
+    sel = os.environ.get("BIS_STAGES")
+    if sel is not None:
+        want = sel.split(",")
+        stages = [s for s in stages if (s or "FULL") in want]
+    for stop in stages:
         timeit(f"cells raster through: {stop or 'FULL'}",
                raster_prefix(stop), geom, inputs)
 
