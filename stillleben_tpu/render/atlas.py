@@ -88,6 +88,13 @@ class SceneAtlas(NamedTuple):
     # texel (l, v, u) of combo c lives at [c, MIP_OFFSETS[l] + v*S_l + u].
     tex_combo: jax.Array  # (NC, MIP_TOTAL, COMBO_CHANNELS) f32
     mat_combo: jax.Array  # (NM,) i32 combo id per material
+    # quad-packed variant: each texel row additionally carries its 2x2
+    # wrap-neighbor quad [c00|c10|c01|c11] (4*COMBO_CHANNELS = 64 channels),
+    # so a bilinear tap is ONE row gather instead of four and a trilinear
+    # sample is 2 gathers/px instead of 8 — TPU gathers cost per ROW
+    # (~5 ns), so tap count, not bytes, is the texture-stage floor.
+    # 4x the HBM footprint of tex_combo (SL_TEX_SAMPLER=quad uses it).
+    tex_combo_quad: jax.Array  # (NC, MIP_TOTAL, 4*COMBO_CHANNELS)
 
     # sticker textures at NATIVE resolution, clamp-to-border semantics
     # (reference src/object.cpp:494-513 uses a RectangleTexture: no mips,
@@ -152,6 +159,24 @@ def _mip_chain_packed(stack: np.ndarray) -> np.ndarray:
         cur = cur.reshape(n, h, 2, h, 2, c).mean(axis=(2, 4))
         levels.append(cur)
     return np.concatenate([l.reshape(n, -1, c) for l in levels], axis=1)
+
+
+def _quad_pack(tex_combo: np.ndarray) -> np.ndarray:
+    """(N, MIP_TOTAL, C) mip-packed -> (N, MIP_TOTAL, 4C): each texel row
+    carries its repeat-wrap 2x2 neighbor quad [c00|c10|c01|c11] (u-then-v
+    order matching the bilinear weights gu*gv, fu*gv, gu*fv, fu*fv)."""
+    n, total, c = tex_combo.shape
+    out = np.empty((n, total, 4 * c), tex_combo.dtype)
+    for li, s in enumerate(MIP_SIZES):
+        o = MIP_OFFSETS[li]
+        lvl = tex_combo[:, o : o + s * s].reshape(n, s, s, c)
+        r10 = np.roll(lvl, -1, axis=2)
+        r01 = np.roll(lvl, -1, axis=1)
+        r11 = np.roll(r01, -1, axis=2)
+        q = np.concatenate([lvl, r10, r01, r11], axis=-1)
+        out[:, o : o + s * s] = q.reshape(n, s * s, 4 * c)
+    out[:, MIP_OFFSETS[-1] + 1 :] = 0.0
+    return out
 
 
 def _build_combo_stack(mats, raw_textures, size):
@@ -534,6 +559,14 @@ def build_scene_atlas(objects, background_plane=None) -> SceneAtlas:  # noqa: C9
             ),
         ),
         mat_combo=jnp.asarray(mat_combo),
+        tex_combo_quad=jnp.asarray(
+            _quad_pack(tex_combo),
+            dtype=(
+                jnp.bfloat16
+                if os.environ.get("SL_TEX_DTYPE", "f32") == "bf16"
+                else jnp.float32
+            ),
+        ),
         sticker_stack=jnp.asarray(sticker_stack),
         sticker_size=jnp.asarray(sticker_size),
         obj_class=jnp.asarray(np.array(obj_class, np.int32)),

@@ -11,39 +11,51 @@ from .light_map import (
     LightMapData,
     PREFILTER_MIPS,
     get_brdf_lut,
+    quad_pack_cube_flat,
     sample_cubemap,
     sample_cubemap_packed,
+    sample_cubemap_packed_quad,
 )
 
 
 def _sample_prefilter(lm: LightMapData, dirs: jax.Array, lod: jax.Array) -> jax.Array:
     """Trilinear between the 5 prefiltered mips (lod in [0, 4]): bilinear-tap
     the TWO adjacent levels of the packed chain and lerp — identical math to
-    blending all levels with tent weights, at 8 gathers/px instead of 20."""
+    blending all levels with tent weights, at 8 gathers/px instead of 20.
+
+    SL_IBL_QUAD=1: quad-row gathers (one per tap instead of four; bitwise
+    the same values — quad_pack_cube_flat carries the clamp neighbors)."""
     import os
 
     mips = [lm.prefilter_mip(i) for i in range(PREFILTER_MIPS)]
-    flat = jnp.concatenate([p.reshape(-1, 3) for p in mips], axis=0)
     sizes = jnp.asarray([p.shape[1] for p in mips], jnp.int32)
     counts = [6 * p.shape[1] * p.shape[1] for p in mips]
     offsets = jnp.asarray(
         [sum(counts[:i]) for i in range(PREFILTER_MIPS)], jnp.int32
     )
     lod = jnp.clip(lod, 0.0, PREFILTER_MIPS - 1.0)
+    if os.environ.get("SL_IBL_QUAD", "0") == "1":
+        flat_q = quad_pack_cube_flat(mips)  # constant-folded at compile
+
+        def tap(lvl):
+            return sample_cubemap_packed_quad(flat_q, offsets, sizes, dirs, lvl)
+    else:
+        flat = jnp.concatenate([p.reshape(-1, 3) for p in mips], axis=0)
+
+        def tap(lvl):
+            return sample_cubemap_packed(flat, offsets, sizes, dirs, lvl)
+
     if os.environ.get("SL_IBL_PREFILTER", "trilinear") == "nearest":
-        # nearest-LEVEL bilinear: 4 gathers/px instead of 8. The prefilter
-        # chain is already roughness-blurred, so snapping the level only
-        # steps the blur radius between the 5 bands (no spatial aliasing);
-        # the visible delta on the bench scene is below the tonemap quantum
-        # except on near-mirror surfaces.
-        ln = jnp.round(lod).astype(jnp.int32)
-        return sample_cubemap_packed(flat, offsets, sizes, dirs, ln)
+        # nearest-LEVEL bilinear: 4 gathers/px instead of 8 (1 with quad
+        # rows). The prefilter chain is already roughness-blurred, so
+        # snapping the level only steps the blur radius between the 5 bands
+        # (no spatial aliasing); the visible delta on the bench scene is
+        # below the tonemap quantum except on near-mirror surfaces.
+        return tap(jnp.round(lod).astype(jnp.int32))
     l0 = jnp.floor(lod).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, PREFILTER_MIPS - 1)
     frac = (lod - l0.astype(jnp.float32))[..., None]
-    t0 = sample_cubemap_packed(flat, offsets, sizes, dirs, l0)
-    t1 = sample_cubemap_packed(flat, offsets, sizes, dirs, l1)
-    return t0 * (1.0 - frac) + t1 * frac
+    return tap(l0) * (1.0 - frac) + tap(l1) * frac
 
 
 def _sample_lut(lut: jax.Array, NoV: jax.Array, roughness: jax.Array) -> jax.Array:

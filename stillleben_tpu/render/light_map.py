@@ -171,6 +171,69 @@ def sample_cubemap_packed(
     return (c00 * (1 - fu) + c10 * fu) * (1 - fv) + (c01 * (1 - fu) + c11 * fu) * fv
 
 
+def quad_pack_cube_flat(mips):
+    """[(6, S, S, C)] mip list -> (sum 6*S^2, 4C) quad rows: each texel
+    carries its CLAMP-neighbor 2x2 quad [c00|c10(+u)|c01(+v)|c11(+uv)] so a
+    bilinear cubemap tap is ONE row gather (sample_cubemap_packed_quad).
+    Built from constants inside jit — XLA folds it at compile time."""
+    rows = []
+    for pcube in mips:
+        e_u = jnp.concatenate([pcube[:, :, 1:], pcube[:, :, -1:]], axis=2)
+        e_v = jnp.concatenate([pcube[:, 1:], pcube[:, -1:]], axis=1)
+        e_uv = jnp.concatenate([e_v[:, :, 1:], e_v[:, :, -1:]], axis=2)
+        q = jnp.concatenate([pcube, e_u, e_v, e_uv], axis=-1)
+        rows.append(q.reshape(-1, q.shape[-1]))
+    return jnp.concatenate(rows, axis=0)
+
+
+def sample_cubemap_packed_quad(
+    flat_quad: jax.Array,  # (sum 6*S_l^2, 4C) quad rows (quad_pack_cube_flat)
+    offsets: jax.Array,  # (L,) i32 texel offset of each level
+    sizes: jax.Array,  # (L,) i32 face edge of each level
+    dirs: jax.Array,  # (..., 3)
+    level: jax.Array,  # (...) i32 per-pixel mip level
+) -> jax.Array:
+    """Bilinear sample of ONE mip level per pixel at ONE row gather/px
+    (vs 4 in sample_cubemap_packed). Bitwise-identical output: the quad
+    rows carry clamp neighbors, and fu/fv are zeroed when u0/v0 < 0 so the
+    low-edge double-clamp of the 4-fetch path is reproduced exactly."""
+    C = flat_quad.shape[-1] // 4
+    S = sizes[level]
+    off = offsets[level]
+    Sf = S.astype(jnp.float32)
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (ay > ax) & (ay >= az)
+    face = jnp.where(
+        is_x,
+        jnp.where(x > 0, 0, 1),
+        jnp.where(is_y, jnp.where(y > 0, 2, 3), jnp.where(z > 0, 4, 5)),
+    )
+    ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
+    ma = jnp.maximum(ma, 1e-12)
+    u = jnp.where(
+        is_x,
+        jnp.where(x > 0, -z, z),
+        jnp.where(is_y, x, jnp.where(z > 0, x, -x)),
+    )
+    v = jnp.where(is_x, -y, jnp.where(is_y, jnp.where(y > 0, z, -z), -y))
+    uu = (u / ma + 1.0) * 0.5 * Sf - 0.5
+    vv = (v / ma + 1.0) * 0.5 * Sf - 0.5
+    u0 = jnp.floor(uu)
+    v0 = jnp.floor(vv)
+    fu = jnp.where(u0 < 0, 0.0, uu - u0)[..., None]
+    fv = jnp.where(v0 < 0, 0.0, vv - v0)[..., None]
+    u0i = jnp.clip(u0.astype(jnp.int32), 0, S - 1)
+    v0i = jnp.clip(v0.astype(jnp.int32), 0, S - 1)
+    q = flat_quad[off + face * S * S + v0i * S + u0i]  # (..., 4C)
+    c00 = q[..., 0 * C : 1 * C]
+    c10 = q[..., 1 * C : 2 * C]
+    c01 = q[..., 2 * C : 3 * C]
+    c11 = q[..., 3 * C : 4 * C]
+    return (c00 * (1 - fu) + c10 * fu) * (1 - fv) + (c01 * (1 - fu) + c11 * fu) * fv
+
+
 def _sample_equirect(img: jax.Array, dirs: jax.Array) -> jax.Array:
     """Reference mapping (cubemap_shader_equirectangular.frag)."""
     Hs, Ws = img.shape[:2]

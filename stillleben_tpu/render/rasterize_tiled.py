@@ -295,8 +295,13 @@ def rasterize_vertices_cells(
     cum = jnp.cumsum(ncells)
     total = cum[-1]
     if max_cells is None:
+        # F-scaled term assumes ~2 pair emissions per active face; a facing
+        # cull leaves ~55-60% of faces active, so the whole static cell
+        # budget (which gates the gather + kernel grid cost, measured
+        # ~5ns/row regardless of validity) shrinks with it.
+        per_face = (F * 2) if not cull_sign else (F * 5) // 4
         max_cells = int(min(
-            n_pairs // C + n_tiles, n_tiles + max(512, (F * 2) // C)
+            n_pairs // C + n_tiles, n_tiles + max(512, per_face // C)
         ))
     j = jnp.arange(max_cells, dtype=jnp.int32)
     t_of = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)

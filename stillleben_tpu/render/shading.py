@@ -104,15 +104,22 @@ def sample_combo_mip_planar(
     bilinear taps + lerp, the software analogue of the reference's
     GL mip-mapped SamplerFilter::Linear (context.cpp:617-649).
 
-    Two interchangeable evaluation orders (SL_TEX_SAMPLER env):
+    Three interchangeable evaluation orders (SL_TEX_SAMPLER env):
     - ``packed`` (default): all taps concatenated into one (N, taps*C)
       array; the filter is a weight multiply + tree reduce over tap
       blocks. Every elementwise op runs with a 64/128-wide minor dim.
+    - ``quad``: ``stack`` must be the quad-packed atlas.tex_combo_quad
+      (each row = the 2x2 wrap-neighbor quad): ONE row gather per mip
+      level — 2 gathers/px trilinear instead of 8. Same arithmetic as
+      ``packed`` (identical tap values, weights, and reduce tree).
     - ``hwc``: classic per-tap bilinear lerp over (H, W, C) arrays, whose
       16-channel minor dim uses 16/128 VPU lanes per op."""
     import os
 
-    if os.environ.get("SL_TEX_SAMPLER", "packed") == "packed":
+    mode = os.environ.get("SL_TEX_SAMPLER", "packed")
+    if mode == "quad":
+        return _sample_combo_mip_quad(stack, tex_id, u, v, lod, trilinear)
+    if mode == "packed":
         return _sample_combo_mip_packed(stack, tex_id, u, v, lod, trilinear)
     from .atlas import MIP_OFFSETS, MIP_SIZES, MIP_TOTAL, N_MIPS
 
@@ -217,6 +224,70 @@ def _sample_combo_mip_packed(
     g = jnp.concatenate(
         [flat[r.reshape(N)] for r in rows], axis=-1
     )  # (N, T*C): tap-major blocks of C
+    w = jnp.stack([wt.reshape(N) for wt in wts], axis=-1)  # (N, T)
+    wfull = jnp.broadcast_to(w[:, :, None], (N, T, C)).reshape(N, T * C)
+    acc = g * wfull
+    while acc.shape[1] > C:  # pairwise tap-block sums, full-width adds
+        half = acc.shape[1] // 2
+        acc = acc[:, :half] + acc[:, half:]
+    return acc.T.reshape(C, H, W)
+
+
+def _sample_combo_mip_quad(
+    stack_quad: jax.Array,  # (NC, MIP_TOTAL, 4C) quad-packed rows
+    tex_id: jax.Array,
+    u: jax.Array,
+    v: jax.Array,
+    lod: jax.Array,
+    trilinear: bool = True,
+):
+    """Quad-row evaluation: a bilinear tap is ONE gather of the texel's
+    [c00|c10|c01|c11] wrap-neighbor quad (atlas._quad_pack), so trilinear
+    costs 2 row gathers/px instead of 8. The weight/reduce arithmetic is
+    identical to _sample_combo_mip_packed (same taps, same tree order) —
+    outputs are bitwise equal; only the gather count changes."""
+    from .atlas import MIP_OFFSETS, MIP_SIZES, MIP_TOTAL, N_MIPS
+
+    NC, C4 = stack_quad.shape[0], stack_quad.shape[-1]
+    C = C4 // 4
+    flat = stack_quad.reshape(NC * MIP_TOTAL, C4)
+    sizes = jnp.asarray(MIP_SIZES, jnp.int32)
+    offs = jnp.asarray(MIP_OFFSETS, jnp.int32)
+    lod = jnp.clip(lod, 0.0, N_MIPS - 1.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    frac = lod - l0.astype(jnp.float32)
+    base = jnp.maximum(tex_id, 0) * MIP_TOTAL
+    H, W = u.shape
+    N = H * W
+
+    rows, wts = [], []
+
+    def level(li, lw):
+        S = sizes[li]
+        Sf = S.astype(jnp.float32)
+        off = offs[li]
+        tu = u * Sf - 0.5
+        tv = v * Sf - 0.5
+        u0 = jnp.floor(tu)
+        v0 = jnp.floor(tv)
+        fu = tu - u0
+        fv = tv - v0
+        u0i = jnp.mod(u0.astype(jnp.int32), S)
+        v0i = jnp.mod(v0.astype(jnp.int32), S)
+        rows.append(base + off + v0i * S + u0i)
+        gu, gv = 1.0 - fu, 1.0 - fv
+        wts.extend([lw * gu * gv, lw * fu * gv, lw * gu * fv, lw * fu * fv])
+
+    if trilinear:
+        level(l0, 1.0 - frac)
+        level(jnp.minimum(l0 + 1, N_MIPS - 1), frac)
+    else:
+        level(l0, jnp.ones_like(frac))
+
+    T = len(wts)  # 4 or 8 tap weights; gathers = T // 4
+    g = jnp.concatenate(
+        [flat[r.reshape(N)] for r in rows], axis=-1
+    )  # (N, T*C): tap-major blocks of C (quad order matches weight order)
     w = jnp.stack([wt.reshape(N) for wt in wts], axis=-1)  # (N, T)
     wfull = jnp.broadcast_to(w[:, :, None], (N, T, C)).reshape(N, T * C)
     acc = g * wfull
@@ -350,14 +421,21 @@ def shade(
     shadow_mode: str = "vsm",
     texture_filter: str = "trilinear",  # "trilinear" (reference GL) | "bilinear" | "aniso" (multi-tap grazing-angle mode, context.cpp:635)
     shading_dtype: str = "auto",  # "auto" (bf16 on TPU) | "bf16" | "f32"
+    stop_after: str | None = None,  # profiling bisect prefixes ("rows"|
+    # "gather"|"bary"|"interp"): return the stage's raw outputs so XLA
+    # dead-code-eliminates everything downstream (tools/cells_bisect.py)
 ) -> FrameOutputs:
     H, W = gbuf.tri_id.shape
     valid = gbuf.tri_id >= 0
     tri = jnp.maximum(gbuf.tri_id, 0).reshape(-1)
 
     rows = build_face_rows(atlas, inputs, geom)  # (F, ROW)
+    if stop_after == "rows":
+        return rows
     # THE per-pixel gather, then planarize: (N, ROW) -> (ROW, H, W)
     ch = rows[tri].T.reshape(ROW, H, W)
+    if stop_after == "gather":
+        return ch
 
     def vblk(v, a, b):
         off = v * VS
@@ -384,6 +462,8 @@ def shade(
     denom = jnp.where(jnp.abs(Esum) < 1e-20, 1.0, Esum)
     b0, b1, b2 = E0 / denom, E1 / denom, E2 / denom
     front = (Esum < 0) & valid
+    if stop_after == "bary":
+        return b0, b1, b2, front
 
     def interp(a, b):
         return vblk(0, a, b) * b0 + vblk(1, a, b) * b1 + vblk(2, a, b) * b2
@@ -397,6 +477,8 @@ def shade(
     bt_world = interp(17, 20)
     sticker_uv = interp(20, 22)
     depth = cam_coords[2]
+    if stop_after == "interp":
+        return obj_coords, world, cam_coords, uv, n_world, depth
 
     base_color = ch[FACE + 0 : FACE + 4]  # (4, H, W)
     emissive = ch[FACE + 4 : FACE + 7]
@@ -405,6 +487,13 @@ def shade(
     cutoff = ch[FACE + 9]
 
     if sample_textures:
+        import os as _os
+
+        tex_stack = (
+            atlas.tex_combo_quad
+            if _os.environ.get("SL_TEX_SAMPLER", "packed") == "quad"
+            else atlas.tex_combo
+        )
         combo = jnp.round(ch[FACE + 10]).astype(jnp.int32)
         # analytic screen-space UV derivatives for mip LOD selection: with
         # b_i = E_i/Esum, db_i/dx = (dE_i/dx - b_i * dEsum/dx) / Esum — exact
@@ -454,7 +543,7 @@ def shade(
             for k in range(n_taps):
                 t = (k + 0.5) / n_taps - 0.5
                 tap = sample_combo_mip_planar(
-                    atlas.tex_combo, combo, uv[0] + t * dua, uv[1] + t * dva,
+                    tex_stack, combo, uv[0] + t * dua, uv[1] + t * dva,
                     lod, trilinear=True,
                 )
                 tex = tap if tex is None else tex + tap
@@ -465,7 +554,7 @@ def shade(
                 jnp.maximum(foot2 * (TEXTURE_SIZE * TEXTURE_SIZE), 1.0)
             )
             tex = sample_combo_mip_planar(
-                atlas.tex_combo, combo, uv[0], uv[1], lod,
+                tex_stack, combo, uv[0], uv[1], lod,
                 trilinear=(texture_filter == "trilinear"),
             )  # (16, H, W)
         base_color = jnp.concatenate(

@@ -127,7 +127,17 @@ def _ortho_rasterize_depth(
         os.environ.get("SL_RASTER", "cells") == "cells"
         and use_pallas is not False
     ):
-        tile = 64 if size >= 1024 else 16
+        # Cell shape for the depth-only pass: the caster proxy is ~8k faces
+        # over a 2048^2 map, so tiles hold ~16 triangles — far below the
+        # main raster's 128-triangle cells. Kernel work is cells*C*tile^2;
+        # a sparse pass wants SMALLER cells (C) and tiles than the dense
+        # 640x480 main pass (measured: tile=64/C=128 made the shadow pass
+        # 27 ms/scene of the tuned frame).
+        on_tpu = jax.devices()[0].platform == "tpu"
+        tile = int(os.environ.get("SL_SHADOW_TILE", "32" if size >= 1024 else "16"))
+        # CPU/interpret keeps C=128: smaller cells mean 4x the interpreted
+        # grid steps for zero benefit off-hardware
+        chunk = int(os.environ.get("SL_SHADOW_CHUNK", "32" if on_tpu else "128"))
         depth_img, _ = rasterize_vertices_cells(
             p, zf, tri_on, size, size,
             near=-1e-3, far=1.0,
@@ -135,6 +145,7 @@ def _ortho_rasterize_depth(
             min_depth=None,
             use_pallas=use_pallas,
             tile=tile,
+            chunk=chunk,
             cull_sign=cull_sign,
             cull_mask=tri_cullable,
         )

@@ -483,6 +483,41 @@ def test_mip_sampler_packed_matches_hwc(monkeypatch):
         np.testing.assert_allclose(got, want, atol=2e-6)
 
 
+def test_mip_sampler_quad_matches_packed():
+    """The quad-row sampler (1 gather per mip level from the 2x2-neighbor
+    quad stack) is the SAME arithmetic as the packed sampler — identical
+    taps, weights, and reduce tree — so outputs must be bitwise equal."""
+    import jax.numpy as jnp
+
+    from stillleben_tpu.render import shading
+    from stillleben_tpu.render.atlas import (
+        TEXTURE_SIZE,
+        _mip_chain_packed,
+        _quad_pack,
+    )
+
+    rng = np.random.default_rng(5)
+    stack = rng.random((2, TEXTURE_SIZE, TEXTURE_SIZE, 4), np.float32)
+    packed = _mip_chain_packed(stack)
+    quad = jnp.asarray(_quad_pack(packed))
+    packed = jnp.asarray(packed)
+
+    n = 24
+    u = jnp.asarray(rng.random((n, n), np.float32) * 2.0)  # exercises wrap
+    v = jnp.asarray(rng.random((n, n), np.float32) * 2.0)
+    tid = jnp.asarray(rng.integers(0, 2, (n, n)), jnp.int32)
+    lod = jnp.asarray(rng.random((n, n), np.float32) * 7.5)
+
+    for trilinear in (True, False):
+        want = np.asarray(
+            shading._sample_combo_mip_packed(packed, tid, u, v, lod, trilinear)
+        )
+        got = np.asarray(
+            shading._sample_combo_mip_quad(quad, tid, u, v, lod, trilinear)
+        )
+        np.testing.assert_array_equal(got, want)
+
+
 def test_bf16_shading_close_to_f32(bunny_scene):
     """bf16 lighting math (TPU default) stays within u8 quantization noise of
     the f32 reference (GT buffers are f32 in both)."""
@@ -865,3 +900,43 @@ def test_backface_cull_invariant_on_closed_mesh(cube_glb, bunny_gltf):
     )
     quad_faces = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
     assert _mesh_closedness(quad_pos, quad_faces) < 0.5
+
+
+def test_cubemap_quad_matches_packed():
+    """sample_cubemap_packed_quad (1 gather/tap from clamp-neighbor quad
+    rows) is bitwise-equal to the 4-fetch packed path, including the
+    low-edge double-clamp (fu/fv zeroed when u0/v0 < 0)."""
+    import jax.numpy as jnp
+
+    from stillleben_tpu.render.light_map import (
+        quad_pack_cube_flat,
+        sample_cubemap_packed,
+        sample_cubemap_packed_quad,
+    )
+
+    rng = np.random.default_rng(9)
+    mips = [
+        jnp.asarray(rng.random((6, s, s, 3)).astype(np.float32))
+        for s in (16, 8, 4)
+    ]
+    flat = jnp.concatenate([p.reshape(-1, 3) for p in mips], axis=0)
+    flat_q = quad_pack_cube_flat(mips)
+    sizes = jnp.asarray([16, 8, 4], jnp.int32)
+    counts = [6 * s * s for s in (16, 8, 4)]
+    offsets = jnp.asarray([0, counts[0], counts[0] + counts[1]], jnp.int32)
+
+    dirs = rng.normal(size=(4000, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    # include exact face-edge/corner directions (the clamp paths)
+    edges = np.array(
+        [[1, 1, 1], [1, -1, 1], [-1, 1, -1], [1, 0, 0], [1, 1, 0], [0, 1, 1]],
+        np.float32,
+    )
+    dirs = jnp.asarray(np.concatenate([dirs, edges / np.linalg.norm(edges, axis=-1, keepdims=True)]))
+    lvl = jnp.asarray(rng.integers(0, 3, dirs.shape[0]), jnp.int32)
+
+    want = np.asarray(sample_cubemap_packed(flat, offsets, sizes, dirs, lvl))
+    got = np.asarray(sample_cubemap_packed_quad(flat_q, offsets, sizes, dirs, lvl))
+    # 1-ulp tolerance: at clamp edges the 4-fetch path computes
+    # t0*(1-fu) + t0*fu, which can differ from the quad path's exact t0
+    np.testing.assert_allclose(got, want, atol=1e-6)

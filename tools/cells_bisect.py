@@ -125,17 +125,25 @@ def main():
     # flat shade on top of the raster = "render flat" minus geometry+raster
     from stillleben_tpu.render.shading import shade
 
-    @jax.jit
-    def raster_and_flat(geom, inputs):
-        def one(g, i):
-            gbuf = rasterize_tiled(g, atlas, i, WIDTH, HEIGHT, big_capacity=64)
-            return shade(atlas, i, g, gbuf, shading="flat", light_map=None,
-                         shadow_maps=None, shadow_matrices=None, max_lights=1,
-                         sample_textures=False, sample_stickers=False)
+    def raster_and_shade(stop):
+        @jax.jit
+        def fn(geom, inputs):
+            def one(g, i):
+                gbuf = rasterize_tiled(g, atlas, i, WIDTH, HEIGHT,
+                                       big_capacity=64)
+                return shade(atlas, i, g, gbuf, shading="flat",
+                             light_map=None, shadow_maps=None,
+                             shadow_matrices=None, max_lights=1,
+                             sample_textures=False, sample_stickers=False,
+                             stop_after=stop)
 
-        return jax.vmap(one)(geom, inputs)
+            return jax.vmap(one)(geom, inputs)
 
-    timeit("raster + flat shade", raster_and_flat, geom, inputs)
+        return fn
+
+    for stop in ["rows", "gather", "bary", "interp", None]:
+        timeit(f"raster + flat shade through: {stop or 'FULL'}",
+               raster_and_shade(stop), geom, inputs)
 
 
 if __name__ == "__main__":

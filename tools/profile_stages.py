@@ -42,9 +42,14 @@ def timeit(label, fn, *args, n=2):
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
     ms_scene = best / BATCH * 1000
+    # checksum forces a real device->host readback: a sub-ms "best" with a
+    # sane checksum means block_until_ready returned without executing
+    # (observed once through the relay, r5) — treat such rows as invalid
+    leaf = jax.tree.leaves(out)[0]
+    chk = float(jnp.asarray(leaf).astype(jnp.float32).sum())
     print(
         f"{label:44s} {best * 1000:9.1f} ms total  {ms_scene:8.2f} ms/scene"
-        f"   (compile+warm {warm:.1f}s)",
+        f"   (compile+warm {warm:.1f}s, chk {chk:.3g})",
         flush=True,
     )
     return best

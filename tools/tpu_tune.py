@@ -79,6 +79,28 @@ CONFIGS = [
     ("aniso4", {"BENCH_TEX_FILTER": "aniso"}),
     ("aniso2", {"BENCH_TEX_FILTER": "aniso", "SL_ANISO_TAPS": "2"}),
 ]
+
+# r5 candidates, each stacked on the committed r4 TUNED winner (profile
+# r5: shadows 27.4 ms/scene, textures 18.3, raster+flat 68.5 of the 118).
+_R4 = {"BENCH_CONTACT_GEN": "every2", "BENCH_NARROW_PAIRS": "128",
+       "SL_VSM_TAPS": "1", "SL_IBL_PREFILTER": "nearest",
+       "SL_TEX_DTYPE": "bf16", "BENCH_RENDER_SUB": "8"}
+_R5ALL = {**_R4, "SL_SHADOW_TILE": "32", "SL_SHADOW_CHUNK": "32",
+          "SL_TEX_SAMPLER": "quad", "SL_IBL_QUAD": "1",
+          "SL_BACKFACE_CULL": "1"}
+CONFIGS += [
+    # shadow raster cell shape: the 2048^2 depth pass holds ~16 tris/tile —
+    # tile=64/C=128 cells waste ~8x kernel work on the sparse pass
+    ("shadow32", {**_R4, "SL_SHADOW_TILE": "32", "SL_SHADOW_CHUNK": "32"}),
+    # quad-packed texel rows: trilinear = 2 row gathers/px instead of 8
+    ("texquad", {**_R4, "SL_TEX_SAMPLER": "quad"}),
+    # quad-packed IBL prefilter rows: nearest-level tap = 1 gather not 4
+    ("iblquad", {**_R4, "SL_IBL_QUAD": "1"}),
+    # backface cull of closed meshes (+ windowed one-tile compaction)
+    ("cull", {**_R4, "SL_BACKFACE_CULL": "1"}),
+    ("r5combo", _R5ALL),
+    ("r5combo_b16", {**_R5ALL, "BENCH_BATCH": "16"}),
+]
 # NOTE (r4): SL_PALLAS_SAT / SL_PALLAS_SOLVER / SL_FINE_TPG configs were
 # measured LOSERS on the v5e (ROADMAP r4 table) and the kernels were removed.
 
