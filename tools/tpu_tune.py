@@ -89,9 +89,10 @@ _R5ALL = {**_R4, "SL_SHADOW_TILE": "32", "SL_SHADOW_CHUNK": "32",
           "SL_TEX_SAMPLER": "quad", "SL_IBL_QUAD": "1",
           "SL_BACKFACE_CULL": "1"}
 CONFIGS += [
-    # shadow raster cell shape: the 2048^2 depth pass holds ~16 tris/tile —
-    # tile=64/C=128 cells waste ~8x kernel work on the sparse pass
-    ("shadow32", {**_R4, "SL_SHADOW_TILE": "32", "SL_SHADOW_CHUNK": "32"}),
+    # shadow raster cell shape: tile=32/C=32 is the r5 TPU default (the
+    # 2048^2 depth pass holds ~16 tris/tile; tile=64/C=128 cells wasted ~8x
+    # kernel work) — this config REVERTS to the r4 shape to price the delta
+    ("shadow_old", {**_R4, "SL_SHADOW_TILE": "64", "SL_SHADOW_CHUNK": "128"}),
     # quad-packed texel rows: trilinear = 2 row gathers/px instead of 8
     ("texquad", {**_R4, "SL_TEX_SAMPLER": "quad"}),
     # quad-packed IBL prefilter rows: nearest-level tap = 1 gather not 4
