@@ -231,6 +231,10 @@ class RenderPass:
         )
         if ss > 1:
             frame = _downsample_frame(frame, ss)
+        from ..utils import sanitize
+
+        if sanitize.enabled():  # SL_SANITIZE=1: NaN/Inf audit of every buffer
+            sanitize.check_finite(frame, "RenderPass output")
         return RenderPassResult(frame)
 
 

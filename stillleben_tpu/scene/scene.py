@@ -459,6 +459,10 @@ class Scene:
                     iterations=1,
                 )
                 self._write_back(state)
+        from ..utils import sanitize
+
+        if sanitize.enabled():  # SL_SANITIZE=1: settle output NaN/Inf audit
+            sanitize.check_finite(state, "simulate_tabletop_scene state")
         self._write_back(state)
         self.choose_random_camera_pose()
 

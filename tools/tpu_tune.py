@@ -100,7 +100,11 @@ CONFIGS += [
     # backface cull of closed meshes (+ windowed one-tile compaction)
     ("cull", {**_R4, "SL_BACKFACE_CULL": "1"}),
     ("r5combo", _R5ALL),
+    # settle is dispatch-bound (~52 ms/scene of sequential small kernels in
+    # the one scanned program) — settling 2-4x the scenes in the same program
+    # divides that cost while render pressure stays flat at render_sub=8
     ("r5combo_b16", {**_R5ALL, "BENCH_BATCH": "16"}),
+    ("r5combo_b32", {**_R5ALL, "BENCH_BATCH": "32"}),
 ]
 # NOTE (r4): SL_PALLAS_SAT / SL_PALLAS_SOLVER / SL_FINE_TPG configs were
 # measured LOSERS on the v5e (ROADMAP r4 table) and the kernels were removed.
