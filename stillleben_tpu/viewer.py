@@ -230,6 +230,19 @@ class Viewer:
 
     # -- interactive front-end --------------------------------------------------------
 
+    def serve(self, host: str = "127.0.0.1", port: int = 8645, block: bool = True):
+        """Serve the interactive viewer window over HTTP (the headless-host
+        equivalent of the reference's X11 window — see viewer_web.py).
+        ``block=False`` starts a daemon thread and returns the server."""
+        from .viewer_web import ViewerServer
+
+        srv = ViewerServer(self, host, port)
+        if block:
+            srv.serve_forever()
+        else:
+            srv.start()
+        return srv
+
     def run(self, out_path: str | None = None):
         """Interactive window when a display exists; PNG fallback otherwise."""
         if bool(os.environ.get("DISPLAY")):
@@ -316,6 +329,10 @@ class Viewer:
         )
 
 
-def view(scene):
-    """(reference python/src/py_viewer.cpp ``sl.view``)"""
-    Viewer(scene).run()
+def view(scene, web: bool = False, port: int = 8645):
+    """(reference python/src/py_viewer.cpp ``sl.view``); ``web=True`` serves
+    the interactive window over HTTP instead of opening a local one."""
+    if web:
+        Viewer(scene).serve(port=port)
+    else:
+        Viewer(scene).run()
