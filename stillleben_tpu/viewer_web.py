@@ -82,7 +82,8 @@ img.addEventListener('wheel', e => {
   post({type: 'scroll', n: e.deltaY < 0 ? 1 : -1}); e.preventDefault();
 });
 window.addEventListener('keydown', e => {
-  if (e.target.tagName !== 'INPUT') post({type: 'key', key: e.key});
+  if (e.target.tagName !== 'INPUT')
+    post({type: 'key', key: e.key, shift: e.shiftKey});
 });
 setInterval(() => post({type: 'tick'}), 100);
 post({type: 'tick'});
@@ -103,6 +104,9 @@ class _ViewerState:
 
     def bump(self):
         self.seq += 1
+
+    def status(self) -> str:
+        return self.viewer._status_line()
 
     def frame_png(self) -> bytes:
         with self.lock:
@@ -169,8 +173,7 @@ def _make_handler(state: _ViewerState):
             elif self.path.startswith("/state"):
                 with state.lock:
                     body = json.dumps(
-                        {"seq": state.seq,
-                         "status": state.viewer._status_line()}
+                        {"seq": state.seq, "status": state.status()}
                     ).encode()
                 self._send(200, body, "application/json")
             else:
@@ -197,6 +200,85 @@ def _make_handler(state: _ViewerState):
             self._send(200, json.dumps(out).encode(), "application/json")
 
     return Handler
+
+
+class CallbackAppState:
+    """Adapter so simple key-driven tools (align_mesh ``--web``) get the same
+    HTTP window: ``render_fn() -> uint8 image``, ``on_key(key) -> bool``
+    (True = state changed, re-render), ``status_fn() -> str``. Browser arrow
+    keys arrive as ``left``/``shift+left`` etc. (matplotlib key names, so the
+    matplotlib window and the web window share one handler)."""
+
+    _ARROWS = {"ArrowLeft": "left", "ArrowRight": "right",
+               "ArrowUp": "up", "ArrowDown": "down"}
+
+    def __init__(self, render_fn, on_key, status_fn):
+        self.render_fn = render_fn
+        self.on_key = on_key
+        self.status_fn = status_fn
+        self.lock = threading.Lock()
+        self.seq = 0
+        self._png_seq = -1
+        self._png = b""
+
+    def status(self) -> str:
+        return self.status_fn()
+
+    def frame_png(self) -> bytes:
+        with self.lock:
+            if self._png_seq != self.seq:
+                import imageio.v2 as imageio
+
+                buf = io.BytesIO()
+                imageio.imwrite(buf, self.render_fn(), format="png")
+                self._png = buf.getvalue()
+                self._png_seq = self.seq
+            return self._png
+
+    def handle_event(self, ev: dict) -> dict:
+        with self.lock:
+            if ev.get("type") == "key":
+                key = self._ARROWS.get(ev.get("key", ""), ev.get("key", ""))
+                if ev.get("shift") and key in ("left", "right", "up", "down"):
+                    key = "shift+" + key
+                if self.on_key(key):
+                    self.seq += 1
+            return {"seq": self.seq, "status": self.status_fn()}
+
+
+class AppServer:
+    """Generic HTTP window around any state object exposing ``frame_png()``
+    and ``handle_event(ev) -> {"seq", "status"}`` (ViewerServer's engine)."""
+
+    def __init__(self, state, host: str = "127.0.0.1", port: int = 8645):
+        self.state = state
+        self.httpd = ThreadingHTTPServer((host, port), _make_handler(state))
+        self.host, self.port = self.httpd.server_address[:2]
+        self._thread: threading.Thread | None = None
+
+    @property
+    def url(self) -> str:
+        return f"http://{self.host}:{self.port}/"
+
+    def start(self):
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def serve_forever(self):
+        print(f"stillleben_tpu viewer: {self.url}  (ctrl-c to stop)")
+        try:
+            self.httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
 
 
 class ViewerServer:

@@ -351,3 +351,49 @@ def test_align_session(cube_glb, tmp_path):
     s.write()
     mesh2 = sl.Mesh(str(mesh_path), physics=False)  # sidecar auto-loads
     np.testing.assert_allclose(mesh2.pretransform, P, atol=1e-6)
+
+
+def test_align_session_web(cube_glb, tmp_path):
+    """align_mesh --web: the alignment window served over HTTP (reference
+    SDL2 GUI on headless hosts) — browser keys map to the same handler."""
+    import json
+    import shutil
+    import sys
+    import urllib.request
+
+    sys.path.insert(0, "/root/repo/tools")
+    from align_mesh import AlignSession
+
+    mesh_path = tmp_path / "cube.glb"
+    shutil.copy(cube_glb, mesh_path)
+    mesh = sl.Mesh(str(mesh_path), physics=False)
+    s = AlignSession(mesh)
+    srv = s.run_web(port=0, block=False)
+    try:
+        def event(ev):
+            req = urllib.request.Request(
+                srv.url.rstrip("/") + "/event",
+                data=json.dumps(ev).encode(), method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return json.loads(r.read())
+
+        P0 = np.asarray(mesh.pretransform).copy()
+        out = event({"type": "key", "key": "ArrowRight", "shift": True})
+        assert out["seq"] == 1  # 90-deg rotate changed state
+        R = np.asarray(mesh.pretransform)[:3, :3]
+        np.testing.assert_allclose(R[:2, :2], [[0, 0], [0, 0]], atol=2)
+        assert not np.allclose(P0, mesh.pretransform)
+        assert "axis: z" in out["status"]
+        # axis select + fine translate along x
+        event({"type": "key", "key": "x"})
+        out = event({"type": "key", "key": "ArrowUp", "shift": False})
+        assert abs(mesh.pretransform[0, 3] - P0[0, 3] - 0.01) < 1e-6
+        # the frame endpoint renders the debug view
+        with urllib.request.urlopen(srv.url + "frame.png", timeout=120) as r:
+            assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
+        # write key produces the sidecar
+        event({"type": "key", "key": "w"})
+        assert (tmp_path / "cube.glb.pretransform").exists()
+    finally:
+        srv.close()

@@ -19,6 +19,9 @@ reference GUI's R+/r+/T+/S+ button grid:
     scale        + / -  (x1.1 each)
     center bbox  c       unit-diagonal scale  u
     write        w       print matrix  p      mouse = arcball orbit
+
+``--web`` serves the same alignment window over HTTP for headless TPU
+hosts (browser arrow keys map to the handler above; see viewer_web.py).
 """
 
 import argparse
@@ -46,6 +49,10 @@ def main():
                         help="write <mesh>.pretransform (else dry run)")
     parser.add_argument("--interactive", action="store_true",
                         help="open the visual alignment window")
+    parser.add_argument("--web", action="store_true",
+                        help="serve the alignment window over HTTP "
+                             "(headless hosts)")
+    parser.add_argument("--port", type=int, default=8646)
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -75,6 +82,9 @@ def main():
     print(P)
     print("bbox:", mesh.bbox)
 
+    if args.web:
+        AlignSession(mesh).run_web(port=args.port)
+        return
     if args.interactive:
         AlignSession(mesh).run_window()
         return
@@ -139,6 +149,44 @@ class AlignSession:
     def write(self) -> str:
         return write_pretransform(self.mesh.filename, self.mesh.pretransform)
 
+    def handle_key(self, k: str) -> bool:
+        """One keyboard edit (matplotlib key names; the web window maps
+        browser keys to the same names). True = state changed, re-render."""
+        if k in ("x", "y", "z"):
+            self.axis = "xyz".index(k)
+        elif k == "left":
+            self.rotate(self.axis, -5.0)
+        elif k == "right":
+            self.rotate(self.axis, 5.0)
+        elif k == "shift+left":
+            self.rotate(self.axis, -90.0)
+        elif k == "shift+right":
+            self.rotate(self.axis, 90.0)
+        elif k == "up":
+            self.translate(self.axis, 0.01)
+        elif k == "down":
+            self.translate(self.axis, -0.01)
+        elif k == "shift+up":
+            self.translate(self.axis, 0.1)
+        elif k == "shift+down":
+            self.translate(self.axis, -0.1)
+        elif k in ("+", "="):
+            self.scale(1.1)
+        elif k == "-":
+            self.scale(1 / 1.1)
+        elif k == "c":
+            self.center_bbox()
+        elif k == "u":
+            self.unit_diagonal()
+        elif k == "w":
+            self.write()
+        elif k == "p":
+            print(self.mesh.pretransform)
+            return False
+        else:
+            return False
+        return True
+
     # -- rendering ------------------------------------------------------------
 
     def render(self, size=(480, 480)) -> np.ndarray:
@@ -173,44 +221,24 @@ class AlignSession:
             fig.canvas.draw_idle()
 
         def on_key(ev):
-            k = ev.key or ""
-            if k in ("x", "y", "z"):
-                self.axis = "xyz".index(k)
-            elif k == "left":
-                self.rotate(self.axis, -5.0)
-            elif k == "right":
-                self.rotate(self.axis, 5.0)
-            elif k == "shift+left":
-                self.rotate(self.axis, -90.0)
-            elif k == "shift+right":
-                self.rotate(self.axis, 90.0)
-            elif k == "up":
-                self.translate(self.axis, 0.01)
-            elif k == "down":
-                self.translate(self.axis, -0.01)
-            elif k == "shift+up":
-                self.translate(self.axis, 0.1)
-            elif k == "shift+down":
-                self.translate(self.axis, -0.1)
-            elif k in ("+", "="):
-                self.scale(1.1)
-            elif k == "-":
-                self.scale(1 / 1.1)
-            elif k == "c":
-                self.center_bbox()
-            elif k == "u":
-                self.unit_diagonal()
-            elif k == "w":
-                self.write()
-            elif k == "p":
-                print(self.mesh.pretransform)
-                return
-            else:
-                return
-            redraw()
+            if self.handle_key(ev.key or ""):
+                redraw()
 
         fig.canvas.mpl_connect("key_press_event", on_key)
         plt.show()
+
+    def run_web(self, port: int = 8646, block: bool = True):
+        """Serve the alignment window over HTTP (the reference SDL2 GUI on a
+        headless TPU host — same edit keys as run_window)."""
+        from stillleben_tpu.viewer_web import AppServer, CallbackAppState
+
+        state = CallbackAppState(self.render, self.handle_key, self._status)
+        srv = AppServer(state, port=port)
+        if block:
+            srv.serve_forever()
+        else:
+            srv.start()
+        return srv
 
     def _status(self) -> str:
         b = self.mesh.bbox
