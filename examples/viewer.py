@@ -1,5 +1,8 @@
 #!/usr/bin/env python
-"""Interactive viewer example (port of the reference examples/viewer.py)."""
+"""Interactive viewer example (port of the reference examples/viewer.py).
+
+``--web [PORT]`` serves the interactive window over HTTP instead of opening
+a local matplotlib window — the mode for headless TPU hosts."""
 
 import pathlib
 import sys
@@ -20,4 +23,9 @@ for _ in range(4):
 scene.simulate_tabletop_scene()
 scene.choose_random_light_direction()
 
-sl.view(scene)
+if "--web" in sys.argv:
+    i = sys.argv.index("--web")
+    port = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 8645
+    sl.view(scene, web=True, port=port)
+else:
+    sl.view(scene)
