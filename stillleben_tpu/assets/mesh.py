@@ -110,10 +110,18 @@ class Mesh:
                 from .fbxfile import load_fbx
 
                 doc = load_fbx(fn)
+            elif ext == ".3ds":
+                from .legacy_formats import load_3ds
+
+                doc = load_3ds(fn)
+            elif ext == ".x":
+                from .legacy_formats import load_x
+
+                doc = load_x(fn)
             else:
                 raise ValueError(
                     f"Unsupported mesh format '{ext}' (supported: .gltf .glb "
-                    f".obj .ply .stl .off .dae .fbx, primitive://)"
+                    f".obj .ply .stl .off .dae .fbx .3ds .x, primitive://)"
                 )
         self._consolidated = consolidate(doc, name=fn)
         self._update_raw_bbox()
