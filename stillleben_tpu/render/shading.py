@@ -56,6 +56,15 @@ FACE = 3 * VS  # 78: face-level constants
 # 78:82 base_color, 82:85 emissive, 85 metallic, 86 roughness, 87 cutoff,
 # 88 combo_tex, 89 sticker_tex, 90 class, 91 instance,
 # 92 roughness-tex-multiplier flag, 93 metallic-tex-multiplier flag
+# TPU row-gather cost is NON-monotonic in row width (r5 width sweep, 634k
+# ids from a 125k-row table on v5e): 8f=10, 16f=13, 26f=16, 32f=27, 52f=41
+# ns/row — but >=64-float rows flip to a fast path: 64f=7.3, 94f=6.6,
+# 128f=5.9 ns/row. The corners gather therefore reads a 64-padded
+# per-vertex table (VS_PAD) behind an optimization_barrier — WITHOUT the
+# barrier XLA fuses the pad into the gather and the slow narrow-row path
+# comes back (measured 17.2 vs 7.7 ns/row). The (F, 94) per-pixel gather
+# is already in the fast regime; no padding needed there.
+VS_PAD = 64
 ROW = FACE + 16  # 94
 
 
@@ -373,31 +382,67 @@ def build_face_rows(atlas: SceneAtlas, inputs: RenderInputs, geom: GeometryBuffe
         axis=-1,
     )  # (VI, VS)
     F = atlas.faces.shape[0]
-    corners = vert_pack[atlas.faces.reshape(-1)].reshape(F, 3 * VS)
+    # gather with a 64-float stride (fast wide-row path — see VS_PAD note),
+    # then compact the 3x26 real channels back out with cheap static slices
+    vp64 = jnp.pad(vert_pack, ((0, 0), (0, VS_PAD - VS)))
+    vp64 = jax.lax.optimization_barrier(vp64)  # keep the pad MATERIALIZED
+    g = vp64[atlas.faces.reshape(-1)].reshape(F, 3 * VS_PAD)
+    corners = jnp.concatenate(
+        [g[:, v * VS_PAD : v * VS_PAD + VS] for v in range(3)], axis=1
+    )
 
     fm = atlas.face_mat
     fo = atlas.face_obj
-    o_met = inputs.obj_metallic[fo]
-    o_rough = inputs.obj_roughness[fo]
-    has_mr_tex = (atlas.mat_mr_tex[fm] >= 0).astype(f32)
+    # TPU gathers cost per ROW (~5 ns) regardless of row width, so 12
+    # separate F-sized gathers from the tiny material/object tables were
+    # ~12 ms/scene of the bench frame (r5 cells_bisect: rows = 16.8 ms).
+    # Pack each table once (M and O are tens of rows — the concats are
+    # free) and gather per face exactly twice.
+    mat_pack = jnp.concatenate(
+        [
+            atlas.mat_base_color,                          # 0:4
+            atlas.mat_emissive,                            # 4:7
+            atlas.mat_metallic[:, None],                   # 7
+            atlas.mat_roughness[:, None],                  # 8
+            atlas.mat_alpha_cutoff[:, None],               # 9
+            atlas.mat_combo[:, None].astype(f32),          # 10
+            (atlas.mat_mr_tex >= 0).astype(f32)[:, None],  # 11
+        ],
+        axis=1,
+    )
+    obj_pack = jnp.stack(
+        [
+            inputs.obj_metallic.astype(f32),
+            inputs.obj_roughness.astype(f32),
+            atlas.obj_sticker_tex.astype(f32),
+            atlas.obj_class.astype(f32),
+            inputs.obj_instance.astype(f32),
+        ],
+        axis=1,
+    )
+    pm = mat_pack[fm]  # (F, 12)
+    po = obj_pack[fo]  # (F, 5)
+    o_met = po[:, 0]
+    o_rough = po[:, 1]
+    has_mr_tex = pm[:, 11]
     # per-object overrides replace the material factor AND suppress the
     # texture multiplier (reference render_shader.cpp:373-378 order)
-    met = jnp.where(o_met >= 0, o_met, atlas.mat_metallic[fm])
-    rough = jnp.where(o_rough >= 0, o_rough, atlas.mat_roughness[fm])
+    met = jnp.where(o_met >= 0, o_met, pm[:, 7])
+    rough = jnp.where(o_rough >= 0, o_rough, pm[:, 8])
     rough_flag = jnp.where(o_rough >= 0, 0.0, has_mr_tex)
     met_flag = jnp.where(o_met >= 0, 0.0, has_mr_tex)
 
     face_extra = jnp.concatenate(
         [
-            atlas.mat_base_color[fm],                      # 78:82
-            atlas.mat_emissive[fm],                        # 82:85
+            pm[:, 0:4],                                    # 78:82 base color
+            pm[:, 4:7],                                    # 82:85 emissive
             met[:, None],                                  # 85
             rough[:, None],                                # 86
-            atlas.mat_alpha_cutoff[fm][:, None],           # 87
-            atlas.mat_combo[fm][:, None].astype(f32),      # 88
-            atlas.obj_sticker_tex[fo][:, None].astype(f32),  # 89
-            atlas.obj_class[fo][:, None].astype(f32),      # 90
-            inputs.obj_instance[fo][:, None].astype(f32),  # 91
+            pm[:, 9:10],                                   # 87 alpha cutoff
+            pm[:, 10:11],                                  # 88 combo tex id
+            po[:, 2:3],                                    # 89 sticker tex id
+            po[:, 3:4],                                    # 90 class
+            po[:, 4:5],                                    # 91 instance
             rough_flag[:, None],                           # 92
             met_flag[:, None],                             # 93
         ],

@@ -36,6 +36,12 @@ from ..physics.types import (
 )
 from ..render import camera as cam
 from . import pose as pose_samplers
+
+# compiled ONCE per shape set (jit keys on function identity + avals); the
+# viewer/telemetry per-iteration settle loop replays this executable
+_settle_step = jax.jit(
+    tt.settle, static_argnames=("cfg", "iterations", "substeps")
+)
 from .camera_fit import choose_random_camera_pose, choose_random_light_direction
 from .object import Object
 
@@ -450,11 +456,15 @@ class Scene:
             )
         else:
             # per-iteration callback path (used by the viewer): one frame at
-            # a time, writeback each iteration
+            # a time, writeback each iteration. The step MUST go through the
+            # module-level jit: a bare tt.settle call re-traces lax.scan
+            # every iteration and the executable cache keys on jaxpr
+            # IDENTITY, so 100 iterations meant 100 full XLA compiles —
+            # leaked JIT code pages until LLVM aborted the process.
             state = tt.stack_objects(self._next_key(), geom, jnp.float32(base_z))
             for i in range(tt.MAX_ITERATIONS):
                 vis_cb(i)
-                state = tt.settle(
+                state = _settle_step(
                     atlas, params, state, floor, pairs, geom, self._solver_cfg,
                     iterations=1,
                 )

@@ -26,9 +26,32 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compile cache: most of the suite's wall time is XLA:CPU
 # compilation of big render/settle programs; warm re-runs skip it.
+# The dir is keyed by a host-CPU fingerprint: XLA:CPU AOT results encode
+# the compile machine's feature set, and loading an executable cached by
+# a DIFFERENT host (rounds run on varying machines) can SIGILL/segfault
+# (cpu_aot_loader warns "Machine type ... doesn't match").
+import hashlib
 import pathlib
 
-_cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache_cpu"
+
+def _host_cpu_fingerprint() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.md5(platform.processor().encode()).hexdigest()[:10]
+
+
+_cache = (
+    pathlib.Path(__file__).resolve().parent.parent
+    / ".jax_cache_cpu"
+    / _host_cpu_fingerprint()
+)
 jax.config.update("jax_compilation_cache_dir", str(_cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 

@@ -108,6 +108,8 @@ def main():
     if sel is not None:
         want = sel.split(",")
         stages = [s for s in stages if (s or "FULL") in want]
+    if os.environ.get("BIS_SHADE", "0") == "1":  # shade stages only
+        stages = []
     for stop in stages:
         timeit(f"cells raster through: {stop or 'FULL'}",
                raster_prefix(stop), geom, inputs)
