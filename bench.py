@@ -295,6 +295,9 @@ def run_rung(idx: int) -> None:
             # broadphase budget: the (K, PH, VH) SAT tensors scale the whole
             # narrowphase (profile r4: 256 -> 128 saved 43 ms/scene settle)
             max_narrow_pairs=int(os.environ.get("BENCH_NARROW_PAIRS", "256")),
+            # sleep early exit (0 = reference fixed 100x4 churn): scenes stop
+            # settling once every body slept this many consecutive frames
+            sleep_frames=int(os.environ.get("BENCH_SETTLE_SLEEP", "0")),
         )
         value, compile_warm_s = _attempt(label, tpl, cfg, solver_cfg, batch, sub)
     except _Watchdog:

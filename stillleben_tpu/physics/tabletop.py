@@ -124,7 +124,7 @@ def settle(
     )
     acc0 = (jnp.zeros_like(c0.depth),) * 3
 
-    def frame(carry, _):
+    def frame(carry):
         st, stuck, acc = carry
 
         if cfg.contact_gen == "frame":
@@ -193,11 +193,45 @@ def settle(
         any_redrop = redrop_mask.any()
         acc = tuple(jnp.where(any_redrop, 0.0, a) for a in acc)
         stuck = jnp.where(redrop_mask, 0, stuck)
-        return (st, stuck, acc), None
+        return st, stuck, acc, any_redrop
 
-    (state, _, _), _ = jax.lax.scan(
-        frame, (state, jnp.zeros((nb,), jnp.int32), acc0), None,
-        length=iterations,
+    stuck0 = jnp.zeros((nb,), jnp.int32)
+    if cfg.sleep_frames <= 0:
+        # reference cadence: fixed 100-frame churn (src/scene.cpp:681)
+        def scan_body(carry, _):
+            st, stuck, acc = carry
+            st, stuck, acc, _ = frame((st, stuck, acc))
+            return (st, stuck, acc), None
+
+        (state, _, _), _ = jax.lax.scan(
+            scan_body, (state, stuck0, acc0), None, length=iterations
+        )
+        return state
+
+    # Sleep early exit: stop once every valid dynamic body has stayed below
+    # the sleep velocity thresholds for cfg.sleep_frames consecutive frames
+    # (PhysX puts the reference's bodies to sleep the same way; the rest of
+    # the fixed schedule does no work on a sleeping pile). Under vmap the
+    # while_loop masks converged lanes, so batched scenes each stop at
+    # their own convergence frame.
+    watched = geom.dynamic & params.valid
+
+    def cond(carry):
+        _, _, _, i, quiet = carry
+        return (i < iterations) & (quiet < cfg.sleep_frames)
+
+    def body(carry):
+        st, stuck, acc, i, quiet = carry
+        st, stuck, acc, any_redrop = frame((st, stuck, acc))
+        lin = jnp.linalg.norm(st.lin_vel, axis=-1)
+        ang = jnp.linalg.norm(st.ang_vel, axis=-1)
+        moving = (lin > cfg.sleep_lin_vel) | (ang > cfg.sleep_ang_vel)
+        asleep = ~jnp.any(moving & watched) & ~any_redrop
+        quiet = jnp.where(asleep, quiet + 1, 0)
+        return st, stuck, acc, i + 1, quiet
+
+    state, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (state, stuck0, acc0, jnp.int32(0), jnp.int32(0))
     )
     return state
 

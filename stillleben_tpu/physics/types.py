@@ -127,6 +127,18 @@ class SolverConfig(NamedTuple):
     # 256 covers dense 10-object piles of decomposed meshes (~100 hulls);
     # raise for many-body scenes.
     max_narrow_pairs: int = 256
+    # settle early exit: when > 0, the 100-frame settle loop becomes a
+    # while_loop that stops once every valid dynamic body has stayed below
+    # the sleep velocity thresholds for this many consecutive frames — the
+    # analogue of PhysX putting bodies to sleep (the reference's PxScene
+    # sleeps resting bodies with default thresholds too; a fixed 100x4
+    # churn over a sleeping pile does no further work there either).
+    # Under vmap, lax.while_loop masks converged lanes, so each scene in a
+    # batch stops at ITS convergence frame (wall clock gated by the slowest
+    # scene). 0 = reference fixed-iteration behavior.
+    sleep_frames: int = 0
+    sleep_lin_vel: float = 1e-3  # m/s
+    sleep_ang_vel: float = 1e-2  # rad/s
 
     @property
     def gravity_vec(self) -> jax.Array:

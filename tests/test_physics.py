@@ -291,6 +291,47 @@ def test_frame_mode_settle_multihull_stable(cadence):
     assert z.max() < 0.6, f"unsettled tower: z={z.max():.2f}"
 
 
+def test_settle_sleep_early_exit_matches_fixed_schedule():
+    """sleep_frames > 0 swaps the fixed 100-frame settle scan for a
+    while_loop that stops once every body has stayed below the sleep
+    velocity thresholds for that many frames (the analogue of PhysX body
+    sleeping in the reference's PxScene). A converged pile is a numerical
+    fixed point of the substep, so the early exit must reproduce the
+    fixed-schedule resting poses (measured bitwise-equal on this scene);
+    bound asserted at mm scale. Also checks the vmapped while_loop masks
+    lanes independently (batched result == per-scene results)."""
+    import stillleben_tpu as sl
+    from stillleben_tpu.parallel.batch import settle_scene, template_from_scene
+
+    scene = sl.Scene((64, 64))
+    cube = sl.Mesh("primitive://cube")
+    cube.scale_to_bbox_diagonal(0.2)
+    sphere = sl.Mesh("primitive://sphere")
+    sphere.scale_to_bbox_diagonal(0.15)
+    for m in (cube, sphere, cube):
+        scene.add_object(sl.Object(m))
+    tpl = template_from_scene(scene)
+
+    cfg_ref = default_config()
+    cfg_slp = default_config()._replace(sleep_frames=10)
+    keys = jax.random.split(jax.random.PRNGKey(21), 3)
+
+    p_ref, _, _ = jax.jit(
+        jax.vmap(lambda k: settle_scene(k, tpl, cfg_ref, 100))
+    )(keys)
+    p_slp, _, _ = jax.jit(
+        jax.vmap(lambda k: settle_scene(k, tpl, cfg_slp, 100))
+    )(keys)
+    p_ref, p_slp = np.asarray(p_ref), np.asarray(p_slp)
+    assert np.isfinite(p_slp).all()
+    d = np.abs(p_ref[:, :, :3, 3] - p_slp[:, :, :3, 3])
+    assert d.max() < 2e-3, f"sleep exit moved resting poses by {d.max():.4f} m"
+
+    # vmapped while_loop must equal the unbatched program per scene
+    p_one, _, _ = jax.jit(lambda k: settle_scene(k, tpl, cfg_slp, 100))(keys[1])
+    np.testing.assert_allclose(np.asarray(p_one), p_slp[1], atol=1e-5)
+
+
 def test_position_correction_resolves_penetration():
     """Positional projection pushes interpenetrating bodies apart and keeps
     quaternions normalized (Pallas comparison variant removed in r4: the

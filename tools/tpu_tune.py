@@ -106,6 +106,21 @@ CONFIGS += [
     ("r5combo_b16", {**_R5ALL, "BENCH_BATCH": "16"}),
     ("r5combo_b32", {**_R5ALL, "BENCH_BATCH": "32"}),
 ]
+_R5B16 = {**_R5ALL, "BENCH_BATCH": "16"}
+CONFIGS += [
+    # settle-cadence fidelity follow-up (r5): the N=24 resting-pose sweep on
+    # the bench template showed every2/p128 deviating (zmax 0.214 vs ref
+    # 0.10) while frame/p128 tracks the reference (dz_max 0.0099). Price the
+    # faithful cadences so TUNED can switch without guessing.
+    ("frame_p128_b16", {**_R5B16, "BENCH_CONTACT_GEN": "frame"}),
+    ("substep_p128_b16", {**_R5B16, "BENCH_CONTACT_GEN": "substep"}),
+    # settle sleep early-exit (while_loop stops when all bodies slept 10
+    # consecutive frames — exact at the solver fixed point, settle_fidelity
+    # PASS): prices the dispatch-bound settle tail the fixed schedule burns
+    ("sleep10_b16", {**_R5B16, "BENCH_SETTLE_SLEEP": "10"}),
+    ("sleep10_frame_b16", {**_R5B16, "BENCH_CONTACT_GEN": "frame",
+                           "BENCH_SETTLE_SLEEP": "10"}),
+]
 # NOTE (r4): SL_PALLAS_SAT / SL_PALLAS_SOLVER / SL_FINE_TPG configs were
 # measured LOSERS on the v5e (ROADMAP r4 table) and the kernels were removed.
 
