@@ -287,9 +287,9 @@ def run_rung(idx: int) -> None:
     cfg = FrameConfig(**kw)
 
     try:
-        # substep cadence + slot-warm-started impulses (default_config): the
-        # frame cadence is ~2.6x cheaper but cannot hold dense multi-hull
-        # piles at rest (physics/types.py contact_gen notes)
+        # substep cadence is the reference default; TUNED.json switches the
+        # tuned rung to the measured winner (r5: "frame" — faster AND the
+        # closest resting-pose distribution, physics/types.py contact_gen)
         solver_cfg = default_config()._replace(
             contact_gen=os.environ.get("BENCH_CONTACT_GEN", "substep"),
             # broadphase budget: the (K, PH, VH) SAT tensors scale the whole

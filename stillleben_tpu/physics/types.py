@@ -108,11 +108,14 @@ class SolverConfig(NamedTuple):
     # (hull pair, manifold point) while the pair list is static; top-k
     # pruning reshuffles are rare at rest and stale impulses are bounded by
     # the cone/positivity clamps). "frame" generates once per 25FPS frame
-    # with a speculative margin and depth-updates across substeps — ~2.6x
-    # cheaper narrowphase, but its within-frame-only warm starting cannot
-    # hold dense multi-hull piles at rest (they sink, trip the redrop
-    # recovery, and stack into towers); use it only for primitive-dominated
-    # scenes until its accumulators persist across frames.
+    # with a speculative margin and depth-updates across substeps (~2.6x
+    # cheaper narrowphase); "every2" is the midpoint. Since the settle loop
+    # began carrying the warm-start accumulators across frames, all three
+    # cadences hold dense multi-hull piles at rest; resting-pose
+    # distribution parity vs "substep" is measured per cadence by
+    # tools/settle_fidelity.py (r5, 24-seed bench template: frame/p128
+    # pd_med 0.006 / pd_q90 0.17 — the closest reduced cadence; every2/p128
+    # 0.103 / 0.63).
     contact_gen: str = "substep"
     # cached-impulse fraction carried between solves. With CORRECT Tonge
     # mass splitting each contact converges only ~1/n of its impulse per

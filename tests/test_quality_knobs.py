@@ -153,16 +153,20 @@ def test_aniso_filter_delta_bounded(lit_scene):
 
 
 def test_settle_cadence_fidelity():
-    """TUNED.json's physics knobs (contact_gen=every2 + 128-pair budget) vs
-    the reference cadence (substep narrowphase, 256 pairs — the semantics of
-    src/scene.cpp:681-740's fixed 100x4 schedule): resting-pose DISTRIBUTION
-    parity over seeds, not just stability (VERDICT r4 item 4).
+    """TUNED.json's physics knobs (contact_gen=frame + 128-pair budget +
+    sleep early-exit) vs the reference cadence (substep narrowphase, 256
+    pairs — the semantics of src/scene.cpp:681-740's fixed 100x4 schedule):
+    resting-pose DISTRIBUTION parity over seeds, not just stability
+    (VERDICT r4 item 4).
 
-    Measured deltas on this 5-object bunny/cube/sphere template (8 seeds,
-    2026-08-19): z_med 0.0025 m, z_q90 0.0000 m, pairwise-dist med 0.048 m,
-    q90 0.121 m — within the seed-level chaos of the settle itself. The
-    bounds below are ~1.5-2x those measurements and ARE the certified
-    deviation of the tuned cadence."""
+    r5 cadence decision trail (tools/settle_fidelity.py, 24-seed bench
+    template): every2/p128 deviates on the distribution body (pairwise-dist
+    med 0.103, q90 0.63) while frame/p128 tracks the reference (med 0.006,
+    q90 0.17); the sleep early-exit is bitwise-identical to its base
+    cadence. Max-based deltas are seed-chaos-dominated for EVERY cadence
+    (single highest object of a chaotic pile), so the bounds below assert
+    medians/quantiles. Measured deltas on this 5-object template are cited
+    in the assertions; bounds are ~1.5-2x those."""
     import jax
     import jax.numpy as jnp
 
@@ -200,7 +204,9 @@ def test_settle_cadence_fidelity():
         default_config()._replace(contact_gen="substep", max_narrow_pairs=256)
     )
     z_tun, pd_tun = settle_stats(
-        default_config()._replace(contact_gen="every2", max_narrow_pairs=128)
+        default_config()._replace(
+            contact_gen="frame", max_narrow_pairs=128, sleep_frames=10
+        )
     )
 
     # resting height distribution: objects must rest at the same heights
